@@ -1,0 +1,276 @@
+"""The crawl loop — each round is one DataFrame pipeline (SURVEY.md §3.2).
+
+Per round, exactly the pinned semantics the refspec oracle implements
+(refspec/crawler.py): anti-join the frontier against the seen set, robots
+gate, per-host top-B(host) selection under a total order, fetch = join
+against the pages index, Arrow-UDF text/link extraction, lineage append,
+lattice-merged frontier advance, manifest-last snapshot commit.
+
+Scale notes (the 10^10 story, SURVEY.md §4):
+- Shuffles per round: anti-join exchange on url_hash, politeness window
+  exchange on (host, salt) then host, frontier-merge exchange on url_hash.
+  With frontier+seen stored bucketed by url_hash (Iceberg bucket(url_hash))
+  the url_hash exchanges become storage-partitioned no-ops.
+- The pages index join keys on url_hash; at cluster scale pages is bucketed
+  the same way.  Only (url_hash, html) for the ≤ Σ B(host) SELECTED rows
+  per round crosses the wire — html is pruned everywhere else.
+- fetch_seq uses a single-partition window over the per-round SELECTED set
+  (bounded by Σ B(host), i.e. politeness-budget-sized, NOT frontier-sized)
+  — per-round selected sets are orders of magnitude smaller than the
+  frontier, so this is safe at scale; the frontier itself never passes
+  through a global window.
+- The optional bloom pre-filter (engine/filters.py) prunes the anti-join
+  probe side; the exact anti-join stays authoritative (filters prune,
+  never decide).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from engine.frontier import (
+    SEEN_SCHEMA,
+    frontier_from_seeds,
+    merge_frontier,
+    with_host,
+)
+from engine.politeness import select_top_b
+from engine.robots import robots_gate
+from engine.snapstore import SnapStore
+from engine.udfs import extract_links_udf, extract_text_udf, hash64_udf
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    default_budget: int = 2
+    budget_overrides: dict[str, int] = field(default_factory=dict)
+    max_rounds: int = 100
+    salt: int = 8  # politeness-window salt groups (1 = single-phase)
+
+
+def pages_index(pages: DataFrame) -> DataFrame:
+    """url_hash + as-of snapshot resolution (SURVEY.md §2 C5): keep, per
+    url, the row with the greatest warc_ts.  One shuffle on url_hash; on a
+    cluster this index is computed once and stored bucketed by url_hash."""
+    h = pages.withColumn("url_hash", hash64_udf("url"))
+    w = Window.partitionBy("url_hash").orderBy(
+        F.col("warc_ts").desc(), F.col("url").asc()
+    )
+    return (
+        h.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def bootstrap(
+    spark: SparkSession, store: SnapStore, seeds: DataFrame
+) -> None:
+    """Commit snapshot 0: seeded frontier + empty seen."""
+    frontier0 = frontier_from_seeds(seeds)
+    seen0 = spark.createDataFrame([], SEEN_SCHEMA)
+    store.commit_state(0, {"frontier": frontier0, "seen": seen0}, {"round": -1})
+
+
+def run_round(
+    spark: SparkSession,
+    store: SnapStore,
+    rnd: int,
+    pages_idx: DataFrame,
+    robots: DataFrame,
+    cfg: EngineConfig,
+    fetch_seq_offset: int,
+    seen_filter=None,
+) -> dict:
+    """Execute round ``rnd`` from snapshot ``rnd`` to snapshot ``rnd+1``.
+
+    Returns the metrics dict that was committed with the snapshot.
+    ``seen_filter`` optionally wraps the anti-join probe side with a bloom
+    pre-filter (engine/filters.bloom_prune) — correctness-neutral.
+    """
+    frontier = store.read(spark, "frontier", rnd)
+    seen = store.read(spark, "seen", rnd)
+
+    # 1. candidates := frontier ANTI seen (op C1)
+    seen_keys = seen.select("url_hash")
+    cand = frontier
+    if seen_filter is not None:
+        cand = seen_filter(cand)  # prune definite-unseen cheaply; never decides
+    cand = cand.join(seen_keys, "url_hash", "left_anti")
+
+    # 2. robots gate (op B4): blocked rows exit to seen, no lineage
+    tagged = robots_gate(cand, robots)
+    blocked = tagged.filter(F.col("robots_blocked")).drop("robots_blocked")
+    allowed = tagged.filter(~F.col("robots_blocked")).drop("robots_blocked")
+
+    # 3. politeness: per-host top-B under the pinned total order (op G1)
+    selected = select_top_b(
+        allowed, cfg.default_budget, cfg.budget_overrides, cfg.salt
+    )
+
+    # 4. fetch = left join pages index on url_hash (ops C4/C5)
+    fetched = selected.join(
+        pages_idx.select("url_hash", "html"), "url_hash", "left"
+    )
+
+    # 5. Arrow-UDF extraction (ops F3/F4); html dropped immediately after
+    ext = (
+        fetched.withColumn("text", extract_text_udf("html"))
+        .withColumn("links", extract_links_udf("html", "url"))
+        .withColumn(
+            "status",
+            F.when(F.col("html").isNotNull(), F.lit("200")).otherwise(
+                F.lit("404")
+            ),
+        )
+        .withColumn("partition_id", F.spark_partition_id())
+        .drop("html")
+    )
+    ext = ext.persist()
+
+    # 6. lineage with dense fetch_seq over (round, url) — selected-set sized
+    w_seq = Window.orderBy("url")
+    lineage = (
+        ext.withColumn(
+            "fetch_seq",
+            F.row_number().over(w_seq) - 1 + F.lit(fetch_seq_offset),
+        )
+        .select(
+            F.lit(rnd).alias("round"),
+            "partition_id",
+            "host",
+            "url_hash",
+            "url",
+            "status",
+            F.when(F.col("links").isNull(), 0)
+            .otherwise(F.size("links"))
+            .alias("n_links"),
+            F.when(F.col("text").isNull(), 0)
+            .otherwise(F.octet_length("text"))
+            .alias("text_bytes"),
+            F.col("fetch_seq").cast("long").alias("fetch_seq"),
+        )
+    )
+
+    # 7. advance state
+    removed = ext.select("url_hash", "url").unionByName(
+        blocked.select("url_hash", "url")
+    )
+    seen_next = seen.unionByName(
+        removed.withColumn("fetched_round", F.lit(rnd)).select(
+            "url_hash", "url", "fetched_round"
+        )
+    )
+
+    kids = (
+        ext.filter(F.col("status") == "200")
+        .select(
+            F.col("url").alias("src_url"),
+            F.greatest(F.lit(0), F.col("priority") - 1).alias("priority"),
+            (F.col("depth") + 1).alias("depth"),
+            F.explode("links").alias("url"),
+        )
+        .withColumn("url_hash", hash64_udf("url"))
+    )
+    kids = with_host(kids).select(
+        "url_hash",
+        "url",
+        "host",
+        "priority",
+        "depth",
+        F.lit(rnd + 1).alias("discovered_round"),
+        "src_url",
+    )
+    kids = kids.join(seen_next.select("url_hash"), "url_hash", "left_anti")
+
+    survivors = frontier.join(
+        removed.select("url_hash"), "url_hash", "left_anti"
+    )
+    frontier_next = merge_frontier(survivors.unionByName(kids))
+
+    # pages_out: the extracted-text artifact (byte-identity invariant,
+    # BASELINE.json:15 — compared verbatim against refspec texts)
+    pages_out = ext.filter(F.col("status") == "200").select(
+        F.lit(rnd).alias("round"), "url_hash", "url", "text"
+    )
+
+    n_selected = ext.count()  # ext is persisted; cheap
+    metrics = {"round": rnd, "n_selected": n_selected}
+    store.commit_state(
+        rnd + 1,
+        {
+            "frontier": frontier_next,
+            "seen": seen_next,
+            "lineage": lineage,
+            "pages_out": pages_out,
+        },
+        metrics,
+    )
+    ext.unpersist()
+    return metrics
+
+
+def _fetch_seq_offset(spark: SparkSession, store: SnapStore, sid: int) -> int:
+    """Rows already in lineage at snapshot sid (0 if none)."""
+    try:
+        return store.read(spark, "lineage", sid).count()
+    except FileNotFoundError:
+        return 0
+
+
+def run_crawl(
+    spark: SparkSession,
+    store: SnapStore,
+    pages: DataFrame,
+    robots: DataFrame,
+    seeds: DataFrame | None,
+    cfg: EngineConfig,
+    seen_filter_factory=None,
+) -> int:
+    """Run (or resume — SURVEY.md §3.4) the crawl to completion.
+
+    If the store has no committed snapshot, seeds bootstrap snapshot 0;
+    otherwise the loop re-enters after the latest committed snapshot —
+    a kill between data write and manifest write of round r simply re-runs
+    round r (orphan dirs are overwritten; lineage never double-counts
+    because visibility is manifest-gated).  Returns rounds executed.
+    """
+    if store.latest() is None:
+        if seeds is None:
+            raise ValueError("empty store and no seeds")
+        bootstrap(spark, store, seeds)
+
+    pages_idx = pages_index(pages)
+    rounds_done = 0
+    while True:
+        sid = store.latest()
+        rnd = sid  # next round number == current snapshot id
+        if rnd >= cfg.max_rounds:
+            break
+        frontier = store.read(spark, "frontier", sid)
+        if frontier.limit(1).count() == 0:
+            break
+        seen_filter = (
+            seen_filter_factory(spark, store, sid) if seen_filter_factory else None
+        )
+        run_round(
+            spark,
+            store,
+            rnd,
+            pages_idx,
+            robots,
+            cfg,
+            _fetch_seq_offset(spark, store, sid),
+            seen_filter,
+        )
+        rounds_done += 1
+    return rounds_done
+
+
+def fetch_log(spark: SparkSession, store: SnapStore, sid: int | None = None) -> DataFrame:
+    """(round, url, status, host) ordered by (round, url) — the crawl
+    ordering artifact compared against refspec (op H1 order_fetch_log)."""
+    lin = store.read(spark, "lineage", sid)
+    return lin.select("round", "url", "status", "host").orderBy("round", "url")

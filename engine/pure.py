@@ -1,0 +1,297 @@
+"""Pure, Spark-free primitives shared by the engine and the refspec oracle.
+
+These four functions ARE the cross-language invariant surface pinned by
+SURVEY.md §2 groups F1-F4 and BASELINE.json:15 ("byte-identical extracted
+text per url"):
+
+- :func:`canon`        — F1 URL canonicalization (RFC-3986-ish, pinned dialect)
+- :func:`hash64`       — F2 cross-language 64-bit URL hash (sha256-based)
+- :func:`html_to_text` — F3 HTML → visible text (pinned extractor dialect)
+- :func:`extract_links`— F4 HTML → canonical absolute outlinks
+
+The Spark engine wraps them in vectorized pandas UDFs (engine/udfs.py); the
+refspec oracle (refspec/crawler.py) and the fixture generator
+(fixtures/gen.py) call them directly.  Byte-identity across the two paths is
+therefore *by construction*, and tests/test_pure.py additionally asserts the
+vectorized path equals the scalar path on the same inputs.
+
+No imports beyond the stdlib.  Determinism: no wall clock, no unseeded RNG,
+no dict-order dependence in outputs (all collections sorted before emit).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from html.parser import HTMLParser
+from urllib.parse import urljoin, urlsplit
+
+__all__ = [
+    "canon",
+    "hash64",
+    "hash64_hex",
+    "stable_hash",
+    "html_to_text",
+    "extract_links",
+]
+
+# --------------------------------------------------------------------------
+# F1 — URL canonicalization
+# --------------------------------------------------------------------------
+
+_UNRESERVED = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_HEX = frozenset("0123456789abcdefABCDEF")
+_DEFAULT_PORT = {"http": 80, "https": 443}
+
+
+def _norm_pct(s: str) -> str:
+    """Uppercase %XX escapes; decode escapes of unreserved characters.
+
+    Malformed escapes (% not followed by two hex digits) pass through
+    verbatim — pinned behavior, mirrored nowhere else, so both sides agree
+    trivially by calling this one function.
+    """
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "%" and i + 3 <= n:
+            h = s[i + 1 : i + 3]
+            if h[0] in _HEX and h[1] in _HEX:
+                b = int(h, 16)
+                ch = chr(b)
+                if ch in _UNRESERVED:
+                    out.append(ch)
+                else:
+                    out.append("%" + h.upper())
+                i += 3
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments."""
+    output: list[str] = []
+    buf = path
+    while buf:
+        if buf.startswith("../"):
+            buf = buf[3:]
+        elif buf.startswith("./"):
+            buf = buf[2:]
+        elif buf.startswith("/./"):
+            buf = "/" + buf[3:]
+        elif buf == "/.":
+            buf = "/"
+        elif buf.startswith("/../"):
+            buf = "/" + buf[4:]
+            if output:
+                output.pop()
+        elif buf == "/..":
+            buf = "/"
+            if output:
+                output.pop()
+        elif buf in (".", ".."):
+            buf = ""
+        else:
+            if buf.startswith("/"):
+                j = buf.find("/", 1)
+            else:
+                j = buf.find("/")
+            if j == -1:
+                output.append(buf)
+                buf = ""
+            else:
+                output.append(buf[:j])
+                buf = buf[j:]
+    return "".join(output)
+
+
+def canon(url: str | None) -> str | None:
+    """Pinned URL canonicalization (SURVEY.md §2 F1).
+
+    Rules, in order: reject non-http(s) / host-less / unparseable → None;
+    lowercase scheme and host; drop userinfo; strip default ports (80/443);
+    drop fragment; normalize %-escapes (uppercase, decode unreserved);
+    collapse dot-segments; empty path → "/"; sort query pairs by (key,
+    value) and drop an empty query.
+
+    Idempotent: canon(canon(u)) == canon(u) (property-tested).
+    """
+    if url is None:
+        return None
+    url = url.strip()
+    if not url:
+        return None
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if scheme not in ("http", "https"):
+        return None
+    try:
+        host = parts.hostname
+        port = parts.port
+    except ValueError:
+        return None
+    if not host:
+        return None
+    host = _norm_pct(host.lower())
+    netloc = host
+    if port is not None and port != _DEFAULT_PORT[scheme]:
+        netloc = f"{host}:{port}"
+
+    path = _remove_dot_segments(_norm_pct(parts.path))
+    if not path:
+        path = "/"
+
+    query = _norm_pct(parts.query)
+    if query:
+        pairs = []
+        for piece in query.split("&"):
+            if not piece:
+                continue
+            k, sep, v = piece.partition("=")
+            pairs.append((k, v if sep else None))
+        pairs.sort(key=lambda kv: (kv[0], "" if kv[1] is None else kv[1]))
+        query = "&".join(k if v is None else f"{k}={v}" for k, v in pairs)
+    if query:
+        return f"{scheme}://{netloc}{path}?{query}"
+    return f"{scheme}://{netloc}{path}"
+
+
+# --------------------------------------------------------------------------
+# F2 — cross-language 64-bit hash
+# --------------------------------------------------------------------------
+
+
+def hash64(s: str) -> int:
+    """Signed int64 from the first 8 bytes (big-endian) of sha256(utf-8).
+
+    Pinned instead of xxhash64 (package unavailable — SURVEY.md §0.4) and
+    instead of JVM-side hashing so Python (refspec, fixture gen) and Spark
+    (pandas UDF) agree bit-for-bit.  Cross-checked in SQL against
+    ``substr(sha2(s, 256), 1, 16)`` (hex of the same 8 bytes).
+    """
+    return struct.unpack(">q", hashlib.sha256(s.encode("utf-8")).digest()[:8])[0]
+
+
+def hash64_hex(s: str) -> str:
+    """First 16 hex chars of sha256(utf-8) — the SQL-oracle-able twin of
+    :func:`hash64` (DuckDB ``substr(sha256(s),1,16)`` ==
+    Spark ``substr(sha2(s,256),1,16)``)."""
+    return hashlib.sha256(s.encode("utf-8")).hexdigest()[:16]
+
+
+def stable_hash(s: str) -> int:
+    """Unsigned 64-bit variant used by the deterministic fixture generator."""
+    return hash64(s) & 0xFFFFFFFFFFFFFFFF
+
+
+# --------------------------------------------------------------------------
+# F3 — HTML → text (pinned dialect)
+# --------------------------------------------------------------------------
+
+_SKIP_TAGS = frozenset({"script", "style"})
+_BLOCK_TAGS = frozenset(
+    {
+        "html", "head", "body", "title", "p", "div", "br", "hr",
+        "h1", "h2", "h3", "h4", "h5", "h6",
+        "ul", "ol", "li", "dl", "dt", "dd",
+        "table", "thead", "tbody", "tr", "td", "th",
+        "blockquote", "pre", "section", "article", "header", "footer",
+        "nav", "aside", "main", "form", "figure", "figcaption",
+    }
+)
+
+
+class _TextExtractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._blocks: list[str] = []
+        self._buf: list[str] = []
+        self._skip = 0
+
+    def _flush(self) -> None:
+        raw = "".join(self._buf)
+        self._buf = []
+        collapsed = " ".join(raw.split())
+        if collapsed:
+            self._blocks.append(collapsed)
+
+    def handle_starttag(self, tag, attrs):  # noqa: D102
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag):  # noqa: D102
+        if tag in _SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data):  # noqa: D102
+        if not self._skip:
+            self._buf.append(data)
+
+    def result(self) -> str:
+        self._flush()
+        return "\n".join(self._blocks)
+
+
+def html_to_text(html: bytes | str | None) -> str | None:
+    """Pinned extractor dialect (SURVEY.md §2 F3): stdlib ``html.parser``,
+    script/style dropped, whitespace runs collapsed to single spaces,
+    block-level boundaries emit ``\\n``.  None → None."""
+    if html is None:
+        return None
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", "replace")
+    p = _TextExtractor()
+    p.feed(html)
+    p.close()
+    return p.result()
+
+
+# --------------------------------------------------------------------------
+# F4 — HTML → canonical outlinks
+# --------------------------------------------------------------------------
+
+
+class _LinkExtractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag, attrs):  # noqa: D102
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.hrefs.append(v)
+
+
+def extract_links(html: bytes | str | None, base_url: str | None) -> list[str] | None:
+    """All <a href> targets, resolved against *base_url*, canonicalized
+    (F1), deduplicated, sorted.  None html → None."""
+    if html is None:
+        return None
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", "replace")
+    p = _LinkExtractor()
+    p.feed(html)
+    p.close()
+    out: set[str] = set()
+    for href in p.hrefs:
+        try:
+            absolute = urljoin(base_url or "", href)
+        except ValueError:
+            continue
+        c = canon(absolute)
+        if c is not None:
+            out.add(c)
+    return sorted(out)

@@ -1,0 +1,48 @@
+"""SparkSession factory with the engine's pinned configuration.
+
+One place for every config that affects plans or determinism, so tests,
+bench, and spark-submit all run the same engine (SURVEY.md §4 'config'
+rows).  All settings are plain Apache Spark configuration keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+ENGINE_CONFS = {
+    # determinism / semantics
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow-vectorized pandas UDFs (BASELINE.json:15 — no per-row Python)
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # adaptive execution: post-shuffle coalesce + skew-join splitting
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # runtime bloom-filter join pruning (complements our sharded filters)
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # parquet scan vectorization is on by default; keep explicit
+    "spark.sql.parquet.enableVectorizedReader": "true",
+}
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "crawl-engine",
+    shuffle_partitions: int = 32,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine session.
+
+    ``master=None`` leaves the master to spark-submit (cluster path,
+    BASELINE.json:14 'spark-submit --py-files'); tests pass local[N].
+    """
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
+    b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in ENGINE_CONFS.items():
+        b = b.config(k, v)
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,133 @@
+"""Snapshot store — Iceberg-semantics checkpointing without an Iceberg jar.
+
+SURVEY.md §7.2: no iceberg-spark-runtime jar ships with this pyspark and
+there is no network to fetch one, so the store exposes one interface with
+two backends:
+
+- **snapdir** (implemented here, used by all sandbox tests): Parquet data
+  dirs + a JSON manifest per snapshot, committed manifest-last via
+  ``os.replace`` (atomic on POSIX).  A snapshot is visible iff its manifest
+  exists; data dirs without a manifest are invisible orphans (a killed
+  round leaves no partial state — tests/test_resume.py kills between data
+  write and manifest write).  Time travel = read at any snapshot id.
+- **iceberg** (cluster path): the same calls map 1:1 onto Iceberg
+  operations — commit_state ≈ a transaction of ``overwritePartitions`` on
+  frontier/seen + ``append`` on lineage; read(snapshot_id) ≈ ``VERSION AS
+  OF``.  Activating it is configuration (``--packages
+  org.apache.iceberg:iceberg-spark-runtime…`` + catalog conf), not code:
+  everything above this module only sees the interface.
+
+Snapshot id s = crawl state AFTER round s-1; id 0 is the bootstrap state
+(seeded frontier, empty seen).  frontier/seen are REPLACE tables (each
+snapshot owns a full copy at test scale; Iceberg's overwritePartitions
+makes this differential at cluster scale), lineage is an APPEND table
+(reading state s unions rounds 0..s-1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+REPLACE_TABLES = ("frontier", "seen")
+APPEND_TABLES = ("lineage", "pages_out")
+
+
+class SnapStore:
+    def __init__(self, root: str):
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.manifest_dir = os.path.join(root, "manifests")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # ---- manifest bookkeeping -------------------------------------------
+    def _manifest_path(self, sid: int) -> str:
+        return os.path.join(self.manifest_dir, f"snap-{sid:06d}.json")
+
+    def snapshot_ids(self) -> list[int]:
+        out = []
+        for f in os.listdir(self.manifest_dir):
+            if f.startswith("snap-") and f.endswith(".json"):
+                out.append(int(f[5:-5]))
+        return sorted(out)
+
+    def latest(self) -> int | None:
+        ids = self.snapshot_ids()
+        return ids[-1] if ids else None
+
+    def manifest(self, sid: int) -> dict:
+        with open(self._manifest_path(sid)) as fh:
+            return json.load(fh)
+
+    # ---- commit (manifest-last, atomic) ---------------------------------
+    def commit_state(
+        self,
+        sid: int,
+        tables: dict[str, DataFrame],
+        metrics: dict | None = None,
+    ) -> None:
+        """Write every table's data dir, THEN the manifest (fsync+rename).
+
+        Crash at any point before the final rename leaves snapshot sid
+        invisible; re-running the round overwrites the orphan dirs.
+        """
+        entries = {}
+        for name, df in tables.items():
+            rel = os.path.join(name, f"s={sid:06d}")
+            path = os.path.join(self.data_dir, rel)
+            df.write.mode("overwrite").parquet(path)
+            entries[name] = rel
+        doc = {"snapshot": sid, "tables": entries, "metrics": metrics or {}}
+        tmp = self._manifest_path(sid) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._manifest_path(sid))
+
+    # ---- read / time travel ---------------------------------------------
+    def read(
+        self, spark: SparkSession, table: str, snapshot_id: int | None = None
+    ) -> DataFrame:
+        sid = self.latest() if snapshot_id is None else snapshot_id
+        if sid is None:
+            raise FileNotFoundError(f"{self.root}: no committed snapshot")
+        if table in APPEND_TABLES:
+            paths = []
+            for s in self.snapshot_ids():
+                if s > sid:
+                    break
+                rel = self.manifest(s)["tables"].get(table)
+                if rel:
+                    paths.append(os.path.join(self.data_dir, rel))
+            if not paths:
+                raise FileNotFoundError(f"{table}: nothing appended by snapshot {sid}")
+            return spark.read.parquet(*paths)
+        # replace table: newest manifest at-or-before sid that carries it
+        for s in reversed(self.snapshot_ids()):
+            if s > sid:
+                continue
+            rel = self.manifest(s)["tables"].get(table)
+            if rel:
+                return spark.read.parquet(os.path.join(self.data_dir, rel))
+        raise FileNotFoundError(f"{table}: not present at snapshot {sid}")
+
+    def gc_orphans(self) -> list[str]:
+        """Remove data dirs not referenced by any manifest (§3.4)."""
+        live = set()
+        for s in self.snapshot_ids():
+            live.update(self.manifest(s)["tables"].values())
+        removed = []
+        if os.path.isdir(self.data_dir):
+            for table in os.listdir(self.data_dir):
+                tdir = os.path.join(self.data_dir, table)
+                for snap in os.listdir(tdir):
+                    rel = os.path.join(table, snap)
+                    if rel not in live:
+                        shutil.rmtree(os.path.join(self.data_dir, rel))
+                        removed.append(rel)
+        return removed
