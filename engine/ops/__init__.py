@@ -1,0 +1,74 @@
+"""Operator registry — the bridge between SURVEY.md §2 and the driver
+contract (__spark_entry__.queries / oracle_sql).
+
+Each op registers a (spark, sf_dir) -> DataFrame callable plus, when the
+semantics are ANSI-SQL-expressible, the DuckDB oracle SQL the driver runs
+side-by-side at sf0.01.  Column names are aliased identically on both
+sides (the driver's compare hashes values after sorting columns by name).
+
+Determinism rules for oracle-able ops:
+- any column produced by ARITHMETIC on doubles is rounded to 4 decimals on
+  BOTH sides (Spark and DuckDB may sum floating point in different orders;
+  raw pass-through doubles are left untouched);
+- timestamps cross the compare boundary as epoch seconds (bigint) — both
+  engines agree on naive-UTC semantics that way;
+- every window/top-k op orders by a TOTAL order (unique tie-break columns).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class OpSpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL or None → driver does rows-only check
+    group: str  # SURVEY.md §2 group letter
+
+
+REGISTRY: dict[str, OpSpec] = {}
+
+
+def op(name: str, oracle: str | None, group: str):
+    """Decorator: register an operator implementation."""
+
+    def deco(fn):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate op {name}")
+        REGISTRY[name] = OpSpec(name=name, fn=fn, oracle=oracle, group=group)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_all()
+    return {n: s.fn for n, s in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _load_all()
+    return {n: s.oracle for n, s in REGISTRY.items() if s.oracle is not None}
+
+
+_loaded = False
+
+
+def _load_all() -> None:
+    """Import all op modules exactly once (they self-register)."""
+    global _loaded
+    if _loaded:
+        return
+    import engine.ops.crawlops  # noqa: F401
+    import engine.ops.functions  # noqa: F401
+    import engine.ops.multimodalops  # noqa: F401
+    import engine.ops.relational  # noqa: F401
+    import engine.ops.simsearch  # noqa: F401
+    import engine.ops.textops  # noqa: F401
+
+    _loaded = True

@@ -1,0 +1,157 @@
+"""Crawl-domain operators (SURVEY.md §2 groups A, E, F1/F3/F4) as registry
+entries.
+
+These run over the deterministic XS synthetic corpus (fixtures/gen.py,
+seed-free pure-hash generation — identical on every invocation), so the
+driver's rows-only re-run check is stable.  Their full semantics are
+oracled against refspec in pytest (tests/test_crawl_vs_refspec.py,
+tests/test_pure.py); the entries here additionally give the driver a
+value-hash oracle wherever a SQL twin exists (canonicalize_url on a
+controlled url family, hash64 via sha256 hex in functions.py).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from engine.io import load_table
+from engine.ops import op
+from engine.udfs import canon_udf, extract_links_udf, extract_text_udf
+
+
+def _xs_pages(spark):
+    from fixtures.gen import gen_corpus
+
+    c = gen_corpus("XS")
+    return spark.createDataFrame(
+        [
+            (p["url"], p["warc_ts"], bytearray(p["html"]), p["text"], p["lang"])
+            for p in c.pages
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+@op(
+    "canonicalize_url",
+    "SELECT doc_id, 'http://h' || doc_id || '.test/p/' || doc_id AS canon_url "
+    "FROM documents",
+    "F",
+)
+def canonicalize_url(spark, sf):
+    # full F1 canon over a controlled messy-url family whose canonical form
+    # is SQL-computable: uppercase host, default port, fragment — the
+    # general case (dot-segments, %-escapes, query sort) is refspec- and
+    # property-tested in tests/test_pure.py
+    docs = load_table(spark, sf, "documents")
+    messy = F.concat(
+        F.lit("HTTP://H"),
+        F.col("doc_id"),
+        F.lit(".TEST:80/p/"),
+        F.col("doc_id"),
+        F.lit("#top"),
+    )
+    return docs.select("doc_id", canon_udf(messy).alias("canon_url"))
+
+
+@op("extract_text", None, "F")  # HTML dialect not SQL-expressible
+def extract_text_op(spark, sf):
+    pages = _xs_pages(spark)
+    return pages.select(
+        "url", extract_text_udf("html").alias("text")
+    )
+
+
+@op("extract_links", None, "F")
+def extract_links_op(spark, sf):
+    pages = _xs_pages(spark)
+    return pages.select(
+        "url",
+        F.explode(extract_links_udf("html", "url")).alias("dst"),
+    )
+
+
+@op("scan_seeds", None, "A")
+def scan_seeds(spark, sf):
+    from engine.frontier import frontier_from_seeds
+    from fixtures.gen import gen_corpus
+
+    c = gen_corpus("XS")
+    seeds = spark.createDataFrame(c.seeds, "url string, priority int")
+    return frontier_from_seeds(seeds)
+
+
+@op("scan_robots", None, "A")
+def scan_robots(spark, sf):
+    from fixtures.gen import gen_corpus
+
+    c = gen_corpus("XS")
+    return spark.createDataFrame(
+        sorted(c.robots.items()), "host string, disallow array<string>"
+    )
+
+
+@op("snapshot_append", None, "A")
+def snapshot_append(spark, sf):
+    # append-table semantics: two commits, read sees the union
+    from engine.snapstore import SnapStore
+
+    store = SnapStore(tempfile.mkdtemp(prefix="snapop_"))
+    df1 = spark.range(0, 5).select(F.col("id").alias("round"))
+    df2 = spark.range(5, 8).select(F.col("id").alias("round"))
+    store.commit_state(0, {"lineage": df1})
+    store.commit_state(1, {"lineage": df2})
+    return store.read(spark, "lineage", 1)
+
+
+@op("snapshot_overwrite", None, "A")
+def snapshot_overwrite(spark, sf):
+    from engine.snapstore import SnapStore
+
+    store = SnapStore(tempfile.mkdtemp(prefix="snapop_"))
+    store.commit_state(0, {"frontier": spark.range(0, 10).select(F.col("id").alias("url_hash"))})
+    store.commit_state(1, {"frontier": spark.range(0, 3).select(F.col("id").alias("url_hash"))})
+    return store.read(spark, "frontier", 1)  # replaced: 3 rows
+
+
+@op("time_travel_read", None, "A")
+def time_travel_read(spark, sf):
+    from engine.snapstore import SnapStore
+
+    store = SnapStore(tempfile.mkdtemp(prefix="snapop_"))
+    store.commit_state(0, {"frontier": spark.range(0, 10).select(F.col("id").alias("url_hash"))})
+    store.commit_state(1, {"frontier": spark.range(0, 3).select(F.col("id").alias("url_hash"))})
+    return store.read(spark, "frontier", 0)  # AS OF snapshot 0: 10 rows
+
+
+@op("crawl_round", None, "A")
+def crawl_round(spark, sf):
+    """One full crawl round on the XS corpus — the flagship pipeline
+    (anti-join → robots gate → politeness window → fetch join → Arrow
+    extraction → lineage).  entry() runs this too."""
+    from engine.crawl import EngineConfig, run_round, bootstrap, pages_index
+    from engine.snapstore import SnapStore
+    from fixtures.gen import gen_corpus
+
+    c = gen_corpus("XS")
+    pages = _xs_pages(spark)
+    robots = spark.createDataFrame(
+        [
+            (h, d, c.crawl_delay_ms.get(h, 0))
+            for h, d in sorted(c.robots.items())
+        ],
+        "host string, disallow array<string>, crawl_delay_ms int",
+    )
+    seeds = spark.createDataFrame(c.seeds, "url string, priority int")
+    store = SnapStore(tempfile.mkdtemp(prefix="crawlround_"))
+    bootstrap(spark, store, seeds)
+    cfg = EngineConfig(
+        default_budget=c.default_budget,
+        budget_overrides=c.budget_overrides,
+        max_rounds=1,
+        salt=4,
+    )
+    run_round(spark, store, 0, pages_index(pages), robots, cfg, 0)
+    return store.read(spark, "lineage", 1)

@@ -1,0 +1,486 @@
+"""Relational operators over the driver tables (SURVEY.md §2 groups A-D, G, H).
+
+Every op here is pure DataFrame API — no UDFs, no RDDs — so Catalyst gets
+full pushdown/pruning and whole-stage codegen.  Each maps 1:1 onto the
+crawl-pipeline operator named in SURVEY.md §2 (the TPC-H-ish tables stand
+in as the oracle corpus, SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from engine.io import load_table
+from engine.ops import op
+
+# --------------------------------------------------------------------- A
+
+
+@op(
+    "scan_pages",
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    "A",
+)
+def scan_pages(spark, sf):
+    # column-pruned scan: ReadSchema must contain only these three columns
+    return load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+# --------------------------------------------------------------------- B
+
+
+@op("project_prune", "SELECT o_orderkey, o_orderstatus FROM orders", "B")
+def project_prune(spark, sf):
+    return load_table(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+
+
+@op(
+    "filter_lang",
+    "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'",
+    "B",
+)
+def filter_lang(spark, sf):
+    return (
+        load_table(spark, sf, "documents")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@op(
+    "filter_status",
+    "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem "
+    "WHERE l_returnflag IN ('A','R')",
+    "B",
+)
+def filter_status(spark, sf):
+    return (
+        load_table(spark, sf, "lineitem")
+        .filter(F.col("l_returnflag").isin("A", "R"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+    )
+
+
+@op(
+    "robots_gate",
+    "SELECT doc_id FROM documents "
+    "WHERE NOT (text LIKE 'key%' OR text LIKE 'win%')",
+    "B",
+)
+def robots_gate_op(spark, sf):
+    # the crawl gate's shape: higher-order `exists` over a prefix array
+    # (engine/robots.py); oracle is the unrolled OR of LIKE prefixes
+    docs = load_table(spark, sf, "documents")
+    prefixes = F.array(F.lit("key"), F.lit("win"))
+    blocked = F.exists(prefixes, lambda d: F.col("text").startswith(d))
+    return docs.filter(~blocked).select("doc_id")
+
+
+@op(
+    "derive_host",
+    "SELECT doc_id, regexp_extract('http://' || source || '.test/d/' || doc_id, "
+    "'^[a-z]+://([^/]+)', 1) AS host FROM documents",
+    "B",
+)
+def derive_host(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    url = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".test/d/"), F.col("doc_id")
+    )
+    return docs.select(
+        "doc_id", F.regexp_extract(url, r"^[a-z]+://([^/]+)", 1).alias("host")
+    )
+
+
+@op(
+    "derive_priority",
+    "SELECT l_orderkey, l_linenumber, GREATEST(0, l_linenumber - 1) AS priority "
+    "FROM lineitem",
+    "B",
+)
+def derive_priority(spark, sf):
+    return load_table(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.greatest(F.lit(0), F.col("l_linenumber") - 1).alias("priority"),
+    )
+
+
+# --------------------------------------------------------------------- C
+
+
+@op(
+    "anti_join_seen",
+    "SELECT l_orderkey, l_linenumber FROM lineitem WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')",
+    "C",
+)
+def anti_join_seen(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    seen = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    return li.join(
+        seen, li.l_orderkey == seen.o_orderkey, "left_anti"
+    ).select("l_orderkey", "l_linenumber")
+
+
+@op(
+    "semi_join_pages",
+    "SELECT l_orderkey, l_linenumber FROM lineitem WHERE EXISTS "
+    "(SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_orderstatus = 'O')",
+    "C",
+)
+def semi_join_pages(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    live = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey")
+    )
+    return li.join(
+        live, li.l_orderkey == live.o_orderkey, "left_semi"
+    ).select("l_orderkey", "l_linenumber")
+
+
+@op(
+    "broadcast_join_robots",
+    "SELECT n_name, count(*) AS cnt, round(sum(c_acctbal), 4) AS sum_bal "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
+    "C",
+)
+def broadcast_join_robots(spark, sf):
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")  # dim-sized, like robots
+    return (
+        cust.join(
+            F.broadcast(nation),
+            cust.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("c_acctbal"), 4).alias("sum_bal"),
+        )
+    )
+
+
+@op(
+    "equi_join_fetch",
+    "SELECT l_orderkey, l_linenumber, o_orderstatus, o_totalprice "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+    "C",
+)
+def equi_join_fetch(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    return li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "o_orderstatus", "o_totalprice"
+    )
+
+
+@op(
+    "asof_join_latest",
+    "SELECT user_id, event_id AS last_event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch "
+    "FROM (SELECT user_id, event_id, ts, row_number() OVER "
+    "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+    "FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1",
+    "C",
+)
+def asof_join_latest(spark, sf):
+    # the pages-index as-of pattern (engine/crawl.pages_index): greatest
+    # event at-or-before the cutoff, per key, via a total-ordered window
+    ev = load_table(spark, sf, "events").filter(
+        F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.unix_timestamp("ts").alias("ts_epoch"),
+        )
+    )
+
+
+@op(
+    "range_join_events",
+    "SELECT a.event_id AS e1, b.event_id AS e2 FROM events a JOIN events b "
+    "ON a.user_id = b.user_id AND b.ts > a.ts "
+    "AND b.ts <= a.ts + INTERVAL 1 DAY",
+    "C",
+)
+def range_join_events(spark, sf):
+    # interval join with an equi-key (user_id) so Spark plans a hash/sort-
+    # merge join + range filter, never a nested loop (SURVEY.md §2 C)
+    ev = load_table(spark, sf, "events").select("user_id", "event_id", "ts")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 DAY"))
+    )
+    return a.join(b, cond).select(
+        F.col("a.event_id").alias("e1"), F.col("b.event_id").alias("e2")
+    )
+
+
+# --------------------------------------------------------------------- D
+
+
+@op(
+    "agg_host_counts",
+    "SELECT l_returnflag, l_linestatus, count(*) AS cnt_rows, "
+    "round(sum(l_quantity), 4) AS sum_qty, "
+    "round(avg(l_extendedprice), 4) AS avg_price "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+    "D",
+)
+def agg_host_counts(spark, sf):
+    return (
+        load_table(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt_rows"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@op(
+    "agg_distinct_hosts",
+    "SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust "
+    "FROM orders GROUP BY o_orderstatus",
+    "D",
+)
+def agg_distinct_hosts(spark, sf):
+    return (
+        load_table(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n_cust"))
+    )
+
+
+@op("approx_frontier_card", None, "D")  # approximate → rows-only check
+def approx_frontier_card(spark, sf):
+    # HLL round telemetry (SURVEY.md §2 D3); value is approximate so no
+    # value-hash oracle — pytest bounds its error vs the exact count
+    return (
+        load_table(spark, sf, "lineitem")
+        .agg(F.approx_count_distinct("l_orderkey").alias("approx_orders"))
+    )
+
+
+@op(
+    "rollup_metrics",
+    "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
+    "round(sum(l_extendedprice), 4) AS sum_price "
+    "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+    "D",
+)
+def rollup_metrics(spark, sf):
+    return (
+        load_table(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- G
+
+
+@op(
+    "politeness_topk",
+    "SELECT l_orderkey, l_linenumber, rn FROM (SELECT l_orderkey, l_linenumber, "
+    "row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, "
+    "l_linenumber ASC) AS rn FROM lineitem) WHERE rn <= 2",
+    "G",
+)
+def politeness_topk(spark, sf):
+    # the politeness window's exact shape: per-group top-B under a TOTAL
+    # order (engine/politeness.py)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()
+    )
+    return (
+        load_table(spark, sf, "lineitem")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("l_orderkey", "l_linenumber", "rn")
+    )
+
+
+@op(
+    "rank_audit",
+    "SELECT l_orderkey, l_linenumber, "
+    "rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rnk, "
+    "dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS drnk "
+    "FROM lineitem",
+    "G",
+)
+def rank_audit(spark, sf):
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("l_quantity").desc())
+    li = load_table(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@op(
+    "lag_interval",
+    "SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) - "
+    "CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) "
+    "AS gap_s FROM events",
+    "G",
+)
+def lag_interval(spark, sf):
+    # per-host inter-request spacing vs crawl_delay (SURVEY.md §2 G3)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias(
+            "gap_s"
+        ),
+    )
+
+
+@op(
+    "rolling_rate",
+    "SELECT event_id, round(sum(value) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) "
+    "AS roll_val FROM events",
+    "G",
+)
+def rolling_rate(spark, sf):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    ev = load_table(spark, sf, "events")
+    return ev.select(
+        "event_id", F.round(F.sum("value").over(w), 4).alias("roll_val")
+    )
+
+
+@op(
+    "ntile_shard_audit",
+    "SELECT tile, count(*) AS cnt FROM (SELECT ntile(8) OVER "
+    "(ORDER BY l_orderkey, l_linenumber) AS tile FROM lineitem) GROUP BY tile",
+    "G",
+)
+def ntile_shard_audit(spark, sf):
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    return (
+        load_table(spark, sf, "lineitem")
+        .select(F.ntile(8).over(w).alias("tile"))
+        .groupBy("tile")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# --------------------------------------------------------------------- H
+
+
+@op(
+    "order_fetch_log",
+    "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity < 3 "
+    "ORDER BY l_orderkey, l_linenumber",
+    "H",
+)
+def order_fetch_log(spark, sf):
+    return (
+        load_table(spark, sf, "lineitem")
+        .filter(F.col("l_quantity") < 3)
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@op(
+    "global_topk",
+    "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+    "ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 100",
+    "H",
+)
+def global_topk(spark, sf):
+    # TakeOrderedAndProject under a total order (unique tie-break keys)
+    return (
+        load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(100)
+    )
+
+
+@op(
+    "union_new_links",
+    "SELECT l_orderkey, l_linenumber, count(*) AS dup_cnt, "
+    "round(max(l_quantity), 4) AS max_qty FROM ("
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 25 "
+    "UNION ALL "
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 20"
+    ") GROUP BY l_orderkey, l_linenumber",
+    "H",
+)
+def union_new_links(spark, sf):
+    # the frontier-merge shape (op H3): union + lattice aggregate, never
+    # dropDuplicates (engine/frontier.merge_frontier)
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    u = li.filter(F.col("l_quantity") < 25).unionByName(
+        li.filter(F.col("l_quantity") > 20)
+    )
+    return u.groupBy("l_orderkey", "l_linenumber").agg(
+        F.count("*").alias("dup_cnt"),
+        F.round(F.max("l_quantity"), 4).alias("max_qty"),
+    )
+
+
+@op(
+    "except_selected",
+    "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O' "
+    "EXCEPT ALL SELECT o_orderkey FROM orders WHERE o_totalprice > 150000",
+    "H",
+)
+def except_selected(spark, sf):
+    orders = load_table(spark, sf, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_orderkey")
+    b = orders.filter(F.col("o_totalprice") > 150000).select("o_orderkey")
+    return a.exceptAll(b)
+
+
+@op(
+    "intersect_invariant",
+    "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O' "
+    "INTERSECT SELECT o_orderkey FROM orders WHERE o_totalprice > 150000",
+    "H",
+)
+def intersect_invariant(spark, sf):
+    orders = load_table(spark, sf, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_orderkey")
+    b = orders.filter(F.col("o_totalprice") > 150000).select("o_orderkey")
+    return a.intersect(b)

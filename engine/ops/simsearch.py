@@ -1,0 +1,199 @@
+"""Similarity search over the `embeddings` table (task brief: ANN as a
+first-class engine component).
+
+- ``embed_norm`` / ``embed_cosine_topk``: brute-force baselines using only
+  JVM higher-order functions (transform / zip_with / aggregate) — no
+  Python anywhere, both DuckDB-oracled.
+- ``ann_lsh_bucket``: the scale path — random-hyperplane (sign) LSH with
+  deterministic sha-derived hyperplanes; candidates meet only inside a
+  bucket (hash join on the bucket key), then exact cosine re-ranks.  At
+  100 TB the bucket join replaces the quadratic cross join; recall vs
+  brute force is pytest-checked (tests/test_simsearch.py).
+- ``embed_cosine_neardup``: embedding near-duplicate detection (cosine ≥
+  τ between distinct vectors) — the embedding leg of the dedup suite.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import IntegerType
+
+from engine.io import load_table
+from engine.ops import op
+from engine.textanalysis import _derived_u64
+
+N_QUERIES = 5  # vec_id < 5 are the query set in the registry entries
+TOP_K = 5
+DIM = 64
+N_PLANES = 8  # 2^8 = 256 LSH buckets
+
+
+def _dbl(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _l2(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_col(a, b):
+    return _dot(a, b) / (_l2(a) * _l2(b))
+
+
+@op(
+    "embed_norm",
+    "SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm "
+    "FROM embeddings",
+    "K",
+)
+def embed_norm(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return emb.select(
+        "vec_id", F.round(_l2(_dbl(F.col("embedding"))), 4).alias("l2_norm")
+    )
+
+
+_COSINE_SQL = (
+    "list_sum(list_transform(list_zip(q.embedding, c.embedding), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+
+@op(
+    "embed_cosine_topk",
+    "SELECT query_id, cand_id, rnk FROM (SELECT q.vec_id AS query_id, "
+    "c.vec_id AS cand_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+    f"round({_COSINE_SQL}, 6) DESC, c.vec_id ASC) AS rnk "
+    f"FROM embeddings q JOIN embeddings c ON c.vec_id >= {N_QUERIES} "
+    f"WHERE q.vec_id < {N_QUERIES}) WHERE rnk <= {TOP_K}",
+    "K",
+)
+def embed_cosine_topk(spark, sf):
+    # brute-force top-k: broadcast the (small) query set against every
+    # candidate partition — the exact baseline the ANN path is judged by.
+    # Ranking orders by round(cos, 6) with vec_id tie-break so both
+    # engines rank identical values (raw doubles can differ in the last
+    # ulp across engines).
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", _dbl(F.col("embedding")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "cand_id",
+        F.round(cosine_col(F.col("q_emb"), F.col("c_emb")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "cand_id", "rnk")
+    )
+
+
+# deterministic hyperplanes: sha-derived pseudo-gaussians, same on every
+# executor and every run (no RNG state)
+def _hyperplanes() -> np.ndarray:
+    vals = np.asarray(
+        [
+            _derived_u64("hp", i) / float(1 << 64) - 0.5
+            for i in range(N_PLANES * DIM)
+        ]
+    )
+    return vals.reshape(N_PLANES, DIM)
+
+
+@F.pandas_udf(IntegerType())
+def _lsh_bucket_udf(embs: pd.Series) -> pd.Series:
+    planes = _hyperplanes()  # (P, D)
+    mat = np.stack(embs.to_numpy())  # (n, D)
+    signs = (mat @ planes.T) > 0  # (n, P)
+    out = np.zeros(len(embs), dtype=np.int32)
+    for p in range(N_PLANES):
+        out |= signs[:, p].astype(np.int32) << p
+    return pd.Series(out)
+
+
+def lsh_buckets(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id",
+        "embedding",
+        _lsh_bucket_udf("embedding").alias("bucket"),
+    )
+
+
+@op("ann_lsh_bucket", None, "K")
+def ann_lsh_bucket(spark, sf):
+    """IVF/LSH-style ANN: queries probe only their own bucket; exact cosine
+    re-ranks within it.  Rows-only (approximate); recall pytest-checked."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", _dbl(F.col("embedding")).alias("embedding")
+    )
+    bucketed = lsh_buckets(emb)
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+    )
+    c = bucketed.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        "bucket",
+    )
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "query_id",
+        "cand_id",
+        F.round(cosine_col(F.col("q_emb"), F.col("c_emb")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "cand_id", "rnk", "cos")
+    )
+
+
+@op(
+    "embed_cosine_neardup",
+    "SELECT q.vec_id AS vec_a, c.vec_id AS vec_b, "
+    f"round({_COSINE_SQL}, 4) AS cos FROM embeddings q JOIN embeddings c "
+    f"ON q.vec_id < c.vec_id WHERE round({_COSINE_SQL}, 6) >= 0.5",
+    "K",
+)
+def embed_cosine_neardup(spark, sf):
+    # embedding-cosine near-dup pairs (threshold 0.5); sf0.01 keeps the
+    # all-pairs compare tractable — the ANN bucket path is the scale route
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", _dbl(F.col("embedding")).alias("embedding")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos6 = F.round(cosine_col(F.col("e_a"), F.col("e_b")), 6)
+    return (
+        pairs.withColumn("cos6", cos6)
+        .filter(F.col("cos6") >= 0.5)
+        .select("vec_a", "vec_b", F.round("cos6", 4).alias("cos"))
+    )

@@ -1,0 +1,308 @@
+"""Training-data pipeline operators over `documents` (task brief: dedup,
+text analysis, multimodal plumbing — first-class alongside SURVEY.md §2).
+
+Design split per operator:
+- JVM-expressible analysis (token counts, marker-based language-ID,
+  quality ratios, exact dedup) uses builtins only and carries a DuckDB
+  oracle — these are the 100-TB hot paths and must stay in whole-stage
+  codegen.
+- Sketch-based dedup (MinHash-LSH, SimHash) wraps the pure sketches in
+  engine/textanalysis.py with Arrow pandas UDFs; the LSH band-bucket
+  self-join is plain DataFrame code, so the shuffle topology (explode →
+  hash join on band key → pair dedup → verify) is exactly what a
+  1000-executor run would use.  Verified against brute force in
+  tests/test_textops.py (no SQL oracle: not ANSI-expressible).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType
+
+from engine.io import load_table
+from engine.ops import op
+from engine.textanalysis import (
+    LANG_MARKERS,
+    N_BANDS,
+    band_keys,
+    doc_fingerprint,
+    jaccard,
+    minhash_signature,
+    simhash64,
+)
+
+# ----------------------------------------------------------------- dedup
+
+
+@op(
+    "dedup_exact",
+    "SELECT substr(text, 1, 30) AS text_key, min(doc_id) AS keep_doc_id, "
+    "count(*) AS n_dups FROM documents GROUP BY substr(text, 1, 30)",
+    "K",
+)
+def dedup_exact(spark, sf):
+    # exact dedup = hash groupBy on the normalized key; survivors chosen by
+    # min(doc_id), an aggregate — never dropDuplicates (nondeterministic)
+    docs = load_table(spark, sf, "documents")
+    return docs.groupBy(
+        F.substring("text", 1, 30).alias("text_key")
+    ).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_dups"),
+    )
+
+
+_SIG_SCHEMA = ArrayType(LongType())
+
+
+@F.pandas_udf(_SIG_SCHEMA)
+def _band_keys_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: band_keys(minhash_signature(t or "")))
+
+
+@F.pandas_udf(DoubleType())
+def _jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([jaccard(x or "", y or "") for x, y in zip(a, b)])
+
+
+def minhash_candidate_pairs(docs, id_col="doc_id", text_col="text"):
+    """MinHash-LSH candidate pairs: sign → band-explode → bucket self-join.
+
+    Scale shape: the explode produces N_BANDS rows/doc; the self-join keys
+    on (band_id, band_key) so only same-bucket docs ever meet — no
+    quadratic pair generation.  Hot buckets (boilerplate docs) are the
+    skew risk at 100 TB; AQE skew-join handles the join side.
+    """
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_band_keys_udf(F.col(text_col))).alias(
+            "band_id", "band_key"
+        ),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+@op("dedup_minhash_lsh", None, "K")
+def dedup_minhash_lsh(spark, sf):
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    pairs = minhash_candidate_pairs(docs)
+    # verify candidates with the exact n-gram jaccard (filters prune,
+    # verification decides — same invariant as the bloom seen-set)
+    ta = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+    )
+    verified = (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("jac", F.round(_jaccard_udf("text_a", "text_b"), 4))
+        .filter(F.col("jac") >= 0.5)
+    )
+    return verified.select("doc_a", "doc_b", "jac")
+
+
+@op("dedup_ngram_jaccard", None, "K")
+def dedup_ngram_jaccard(spark, sf):
+    """Exact n-gram Jaccard over LSH candidates (the brute-force verifier
+    exposed as its own operator; rows-only — pytest oracles it against a
+    driver-side quadratic scan on a sample)."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    pairs = minhash_candidate_pairs(docs)
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(_jaccard_udf("text_a", "text_b"), 4).alias("jac"),
+        )
+    )
+
+
+@F.pandas_udf(LongType())
+def _simhash_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: simhash64(t or "")).astype("int64")
+
+
+@op("dedup_simhash", None, "K")
+def dedup_simhash(spark, sf):
+    """SimHash near-dup: 64-bit fingerprints, candidates via 4×16-bit band
+    equality (any pair at hamming ≤ 3 shares ≥ 1 exact band — pigeonhole),
+    verified by bit_count(xor) ≤ 3, all JVM-side after the sketch UDF."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    fp = docs.select("doc_id", _simhash_udf("text").alias("sim"))
+    bands = fp.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftrightunsigned("sim", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sim", "band.band_id", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.expr("bit_count(sim_a ^ sim_b)").cast("int")
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ----------------------------------------------------------- text analysis
+
+def _toks():
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+@op(
+    "token_count",
+    "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens "
+    "FROM documents",
+    "K",
+)
+def token_count(spark, sf):
+    return load_table(spark, sf, "documents").select(
+        "doc_id", F.size(_toks()).alias("n_tokens")
+    )
+
+
+def _marker_count_spark(markers):
+    return F.size(
+        F.filter(_toks(), lambda t: t.isin(*markers))
+    )
+
+
+def _marker_count_sql(markers):
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return (
+        "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        f"t -> t IN ({inlist})))"
+    )
+
+
+_LANGS = sorted(LANG_MARKERS)  # de, en, es, fr — tie-break order, pinned
+
+
+def _langid_sql() -> str:
+    scores = {
+        lang: _marker_count_sql(LANG_MARKERS[lang]) for lang in _LANGS
+    }
+    cols = ", ".join(f"{scores[lang]} AS s_{lang}" for lang in _LANGS)
+    ge = lambda x, ys: " AND ".join(f"s_{x} >= s_{y}" for y in ys)  # noqa: E731
+    return (
+        f"SELECT doc_id, s_de, s_en, s_es, s_fr, "
+        "CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unk' "
+        f"WHEN {ge('de', ['en', 'es', 'fr'])} THEN 'de' "
+        f"WHEN {ge('en', ['es', 'fr'])} THEN 'en' "
+        f"WHEN {ge('es', ['fr'])} THEN 'es' ELSE 'fr' END AS pred_lang "
+        f"FROM (SELECT doc_id, {cols} FROM documents)"
+    )
+
+
+@op("lang_id", _langid_sql(), "K")
+def lang_id_op(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        *[
+            _marker_count_spark(LANG_MARKERS[lang]).alias(f"s_{lang}")
+            for lang in _LANGS
+        ],
+    )
+    s = {lang: F.col(f"s_{lang}") for lang in _LANGS}
+    pred = (
+        F.when(F.greatest(*s.values()) == 0, F.lit("unk"))
+        .when(
+            (s["de"] >= s["en"]) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]),
+            F.lit("de"),
+        )
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]), F.lit("en"))
+        .when(s["es"] >= s["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return scored.withColumn("pred_lang", pred)
+
+
+@op(
+    "quality_score",
+    "SELECT doc_id, n_tokens, round(n_nospace / n_tokens, 4) AS avg_tok_len, "
+    "round(n_stop / n_tokens, 4) AS stop_ratio FROM (SELECT doc_id, "
+    "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, "
+    "length(replace(text, ' ', '')) AS n_nospace, "
+    + _marker_count_sql(LANG_MARKERS["en"])
+    + " AS n_stop FROM documents)",
+    "K",
+)
+def quality_score(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(_toks()).alias("n_tokens"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias(
+            "n_nospace"
+        ),
+        _marker_count_spark(LANG_MARKERS["en"]).alias("n_stop"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("n_nospace") / F.col("n_tokens"), 4).alias("avg_tok_len"),
+        F.round(F.col("n_stop") / F.col("n_tokens"), 4).alias("stop_ratio"),
+    )
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def _fingerprint_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: doc_fingerprint(t or ""))
+
+
+@op("doc_fingerprint", None, "K")
+def doc_fingerprint_op(spark, sf):
+    # winnowing-style rolling-hash fingerprint (engine/textanalysis.py);
+    # ints < 2^61 so LongType-safe; rows-only (not ANSI-expressible)
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id", _fingerprint_udf("text").alias("fingerprint")
+    )
