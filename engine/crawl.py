@@ -93,12 +93,20 @@ def run_round(
     frontier = store.read(spark, "frontier", rnd)
     seen = store.read(spark, "seen", rnd)
 
-    # 1. candidates := frontier ANTI seen (op C1)
+    # 1. candidates := frontier ANTI seen (op C1).  With a bloom filter the
+    # probe side splits: `_maybe_seen` rows take the exact anti-join,
+    # provably-unseen rows skip it (no false negatives ⇒ identical result —
+    # filters prune, never decide; equivalence-tested in tests/test_filters).
     seen_keys = seen.select("url_hash")
-    cand = frontier
     if seen_filter is not None:
-        cand = seen_filter(cand)  # prune definite-unseen cheaply; never decides
-    cand = cand.join(seen_keys, "url_hash", "left_anti")
+        tagged0 = seen_filter(frontier)
+        maybe = tagged0.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+        definite = tagged0.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+        cand = maybe.join(seen_keys, "url_hash", "left_anti").unionByName(
+            definite
+        )
+    else:
+        cand = frontier.join(seen_keys, "url_hash", "left_anti")
 
     # 2. robots gate (op B4): blocked rows exit to seen, no lineage
     tagged = robots_gate(cand, robots)

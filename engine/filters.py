@@ -1,0 +1,313 @@
+"""Sharded bloom + cuckoo filters for the URL-seen set — built from scratch
+(BASELINE.json:14 "partitioned bloom-filter + cuckoo-filter URL-seen set";
+SURVEY.md §2 group E).
+
+numpy bit-twiddling inside Arrow UDF boundaries; no JVM filter code.  The
+invariant that keeps these safe at any scale: **filters prune, never
+decide** — a bloom "maybe-seen" still goes through the exact anti-join
+against the `seen` table; a bloom "definitely-unseen" skips it (bloom has
+no false negatives, so skipping is sound).  The final seen set is therefore
+byte-identical to the exact plan (property- and equivalence-tested).
+
+Scale shape: one shard per url_hash bucket, each sized for n/P keys.  At a
+10^10 frontier with P=4096 buckets and fpp 1e-3, a shard is ~4.3 MB — it
+rides to executors as a task-closure broadcast and probes whole Arrow
+batches vectorized (mapInPandas), amortizing the load per partition, not
+per row.
+
+Cuckoo shards add deletion (re-crawl eviction) with 4-slot buckets and
+16-bit fingerprints (partial-key cuckoo hashing, Fan et al. 2014 — public
+algorithm; cf. PAPERS.md sliding-window cuckoo work for the motivation).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+# ---------------------------------------------------------------- bloom
+
+_H2_MULT = np.uint64(0x9E3779B97F4A7C15)  # odd → permutation mod 2^64
+
+
+def bloom_params(n_keys: int, fpp: float = 1e-3) -> tuple[int, int]:
+    """(n_bits, k) sized for n_keys at the target false-positive rate."""
+    n_keys = max(n_keys, 1)
+    n_bits = int(-n_keys * math.log(fpp) / (math.log(2) ** 2))
+    n_bits = max(64, (n_bits + 63) // 64 * 64)
+    k = max(1, round(n_bits / n_keys * math.log(2)))
+    return n_bits, min(k, 16)
+
+
+def _indices(hashes: np.ndarray, n_bits: int, k: int) -> np.ndarray:
+    """(k, n) bit positions via double hashing: h1 + i*h2 mod n_bits."""
+    h1 = hashes
+    with np.errstate(over="ignore"):
+        h2 = (hashes * _H2_MULT) | np.uint64(1)
+        i = np.arange(k, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :]) % np.uint64(n_bits)).astype(
+            np.uint64
+        )
+
+
+def bloom_build(hashes: np.ndarray, n_bits: int, k: int) -> bytes:
+    bits = np.zeros(n_bits // 8, dtype=np.uint8)
+    if hashes.size:
+        idx = _indices(hashes.astype(np.uint64), n_bits, k).ravel()
+        np.bitwise_or.at(bits, (idx >> 3).astype(np.int64), (1 << (idx & 7)).astype(np.uint8))
+    return bits.tobytes()
+
+
+def bloom_contains(bloom: bytes, n_bits: int, k: int, hashes: np.ndarray) -> np.ndarray:
+    """Vectorized membership: bool array, True = maybe-present."""
+    if hashes.size == 0:
+        return np.zeros(0, dtype=bool)
+    bits = np.frombuffer(bloom, dtype=np.uint8)
+    idx = _indices(hashes.astype(np.uint64), n_bits, k)  # (k, n)
+    present = (bits[(idx >> 3).astype(np.int64)] >> (idx & 7).astype(np.uint8)) & 1
+    return present.all(axis=0).astype(bool)
+
+
+@dataclass
+class BloomShards:
+    """P bloom shards keyed by pmod(url_hash, P) — picklable, rides in the
+    task closure of the probe UDF."""
+
+    n_shards: int
+    shards: dict[int, tuple[bytes, int, int]]  # bucket -> (bits, n_bits, k)
+
+    def maybe_seen(self, url_hashes: np.ndarray) -> np.ndarray:
+        """True where the hash may be in the seen set (no false negatives:
+        an empty/missing shard means the bucket holds no seen keys →
+        False)."""
+        u = url_hashes.astype(np.int64).astype(np.uint64)
+        buckets = (url_hashes % self.n_shards + self.n_shards) % self.n_shards
+        out = np.zeros(len(url_hashes), dtype=bool)
+        for b in np.unique(buckets):
+            shard = self.shards.get(int(b))
+            if shard is None:
+                continue
+            mask = buckets == b
+            bits, n_bits, k = shard
+            out[mask] = bloom_contains(bits, n_bits, k, u[mask])
+        return out
+
+
+def bloom_shards_df(seen_df, n_shards: int = 32, fpp: float = 1e-3):
+    """One bloom shard per bucket via a grouped Arrow UDF (applyInPandas):
+    the build runs where the seen partitions live; only finished shard
+    bytes leave the executors.  Returns a DataFrame
+    (bucket, bloom, n_bits, k, n_keys)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["url_hash"].to_numpy(dtype=np.int64).astype(np.uint64)
+        n_bits, k = bloom_params(len(h), fpp)
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "bloom": [bloom_build(h, n_bits, k)],
+                "n_bits": [n_bits],
+                "k": [k],
+                "n_keys": [len(h)],
+            }
+        )
+
+    return (
+        seen_df.select(
+            "url_hash", F.pmod("url_hash", F.lit(n_shards)).alias("bucket")
+        )
+        .groupBy("bucket")
+        .applyInPandas(
+            _build,
+            "bucket int, bloom binary, n_bits long, k int, n_keys long",
+        )
+    )
+
+
+def build_bloom_shards(
+    seen_df, n_shards: int = 32, fpp: float = 1e-3
+) -> "BloomShards":
+    """Collect the per-bucket shards into a picklable probe-side object.
+
+    At 10^10 scale the shards would persist in the snapshot store and be
+    updated incrementally per round (union of new selected hashes);
+    rebuild-per-round is the test-scale path.
+    """
+    rows = bloom_shards_df(seen_df, n_shards, fpp).collect()
+    return BloomShards(
+        n_shards=n_shards,
+        shards={
+            r["bucket"]: (bytes(r["bloom"]), r["n_bits"], r["k"]) for r in rows
+        },
+    )
+
+
+def bloom_seen_filter_factory(n_shards: int = 32, fpp: float = 1e-3):
+    """seen_filter_factory for engine.crawl.run_crawl: per round, build the
+    shards from the committed seen snapshot and return the tagging fn."""
+
+    def factory(spark, store, sid):
+        seen = store.read(spark, "seen", sid).select("url_hash")
+        shards = build_bloom_shards(seen, n_shards, fpp)
+        return lambda df: bloom_tag(df, shards)
+
+    return factory
+
+
+def bloom_tag(df, shards: BloomShards, col: str = "url_hash"):
+    """Add `_maybe_seen`: True → must go through the exact anti-join;
+    False → provably unseen, may skip it.  mapInPandas so the shard dict
+    loads once per partition, probes whole batches."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    out_schema = StructType(
+        df.schema.fields + [StructField("_maybe_seen", BooleanType(), False)]
+    )
+
+    def probe(batches):
+        for pdf in batches:
+            h = pdf[col].to_numpy(dtype=np.int64)
+            pdf = pdf.copy()
+            pdf["_maybe_seen"] = shards.maybe_seen(h)
+            yield pdf
+
+    return df.mapInPandas(probe, out_schema)
+
+
+# ---------------------------------------------------------------- cuckoo
+
+_CK_SLOTS = 4
+_CK_MAX_KICKS = 500
+_FP_MULT = np.uint64(0x5BD1E995)
+
+
+class CuckooShard:
+    """4-slot-bucket, 16-bit-fingerprint cuckoo filter with delete.
+
+    Layout: uint16 table (n_buckets, 4); 0 = empty slot (fingerprints are
+    forced nonzero).  Partial-key hashing: alt bucket = i ^ H(fp), so
+    either bucket is recoverable from the other — that is what makes
+    delete possible without the original key.
+    """
+
+    def __init__(self, n_keys: int, load: float = 0.84):
+        want = max(int(n_keys / (_CK_SLOTS * load)) + 1, 4)
+        self.n_buckets = 1 << max(2, (want - 1).bit_length())  # pow2
+        self.table = np.zeros((self.n_buckets, _CK_SLOTS), dtype=np.uint16)
+        self._mask = np.uint64(self.n_buckets - 1)
+        self._rng_state = np.uint64(0x243F6A8885A308D3)  # deterministic kicks
+
+    # -- key decomposition.  Keys are mixed (splitmix64 finalizer) before
+    # use: url_hash64 values are already uniform, but the shard must stay
+    # robust for arbitrary int64 keys (small ints would otherwise all get
+    # fingerprint 1 — caught by tests/test_filters.py).
+    @staticmethod
+    def _mix(h: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            z = h + np.uint64(0x9E3779B97F4A7C15)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return z ^ (z >> np.uint64(31))
+
+    def _fp(self, h: np.ndarray) -> np.ndarray:
+        fp = (self._mix(h) >> np.uint64(48)).astype(np.uint16)
+        fp[fp == 0] = 1
+        return fp
+
+    def _i1(self, h: np.ndarray) -> np.ndarray:
+        return (self._mix(h) & self._mask).astype(np.int64)
+
+    def _alt(self, i: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return (
+                (i.astype(np.uint64) ^ (fp.astype(np.uint64) * _FP_MULT))
+                & self._mask
+            ).astype(np.int64)
+
+    def _next_det(self) -> int:
+        # deterministic xorshift — eviction choice must not depend on RNG
+        s = self._rng_state
+        s ^= s << np.uint64(13)
+        s ^= s >> np.uint64(7)
+        s ^= s << np.uint64(17)
+        self._rng_state = s
+        return int(s)
+
+    def insert(self, h: int) -> bool:
+        hu = np.asarray([h], dtype=np.uint64)
+        fp = int(self._fp(hu)[0])
+        i1 = int(self._i1(hu)[0])
+        i2 = int(self._alt(np.asarray([i1]), np.asarray([fp], dtype=np.uint16))[0])
+        for i in (i1, i2):
+            row = self.table[i]
+            empty = np.where(row == 0)[0]
+            if empty.size:
+                row[empty[0]] = fp
+                return True
+        i = (i1, i2)[self._next_det() & 1]
+        cur_fp = fp
+        trail: list[tuple[int, int, int]] = []  # (bucket, slot, evicted_fp)
+        for _ in range(_CK_MAX_KICKS):
+            slot = self._next_det() % _CK_SLOTS
+            trail.append((i, slot, int(self.table[i, slot])))
+            cur_fp, self.table[i, slot] = int(self.table[i, slot]), cur_fp
+            i = int(
+                self._alt(np.asarray([i]), np.asarray([cur_fp], dtype=np.uint16))[0]
+            )
+            row = self.table[i]
+            empty = np.where(row == 0)[0]
+            if empty.size:
+                row[empty[0]] = cur_fp
+                return True
+        # give up: ROLL BACK the kick trail so every previously-inserted
+        # key stays present (a dropped victim would be a false negative),
+        # then reject — caller rebuilds a bigger shard (SURVEY.md §7.3)
+        for b, s, old in reversed(trail):
+            self.table[b, s] = old
+        return False
+
+    def delete(self, h: int) -> bool:
+        hu = np.asarray([h], dtype=np.uint64)
+        fp = int(self._fp(hu)[0])
+        i1 = int(self._i1(hu)[0])
+        i2 = int(self._alt(np.asarray([i1]), np.asarray([fp], dtype=np.uint16))[0])
+        for i in (i1, i2):
+            row = self.table[i]
+            hit = np.where(row == fp)[0]
+            if hit.size:
+                row[hit[0]] = 0
+                return True
+        return False
+
+    def contains_batch(self, h: np.ndarray) -> np.ndarray:
+        hu = h.astype(np.int64).astype(np.uint64)
+        fp = self._fp(hu)
+        i1 = self._i1(hu)
+        i2 = self._alt(i1, fp)
+        t = self.table
+        m1 = (t[i1] == fp[:, None]).any(axis=1)
+        m2 = (t[i2] == fp[:, None]).any(axis=1)
+        return m1 | m2
+
+    def contains(self, h: int) -> bool:
+        return bool(self.contains_batch(np.asarray([h]))[0])
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, n_buckets: int) -> "CuckooShard":
+        obj = cls.__new__(cls)
+        obj.n_buckets = n_buckets
+        obj.table = (
+            np.frombuffer(data, dtype=np.uint16)
+            .reshape(n_buckets, _CK_SLOTS)
+            .copy()
+        )
+        obj._mask = np.uint64(n_buckets - 1)
+        obj._rng_state = np.uint64(0x243F6A8885A308D3)
+        return obj

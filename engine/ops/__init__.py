@@ -65,6 +65,7 @@ def _load_all() -> None:
     if _loaded:
         return
     import engine.ops.crawlops  # noqa: F401
+    import engine.ops.filterops  # noqa: F401
     import engine.ops.functions  # noqa: F401
     import engine.ops.multimodalops  # noqa: F401
     import engine.ops.relational  # noqa: F401

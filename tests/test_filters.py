@@ -1,0 +1,151 @@
+"""Property tests for the from-scratch bloom/cuckoo structures
+(SURVEY.md §5.3) + the bloom-prune ≡ exact-plan equivalence on a real
+multi-round crawl."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from engine.filters import (
+    BloomShards,
+    CuckooShard,
+    bloom_build,
+    bloom_contains,
+    bloom_params,
+)
+
+_keys = st.lists(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    min_size=0,
+    max_size=300,
+    unique=True,
+)
+
+
+@given(_keys, _keys)
+@settings(max_examples=50, deadline=None)
+def test_bloom_no_false_negatives(members, probes):
+    m = np.asarray(members, dtype=np.int64).astype(np.uint64)
+    n_bits, k = bloom_params(len(m))
+    bloom = bloom_build(m, n_bits, k)
+    # every member must be reported present
+    assert bloom_contains(bloom, n_bits, k, m).all()
+    # non-members may false-positive but that's bounded, not asserted here
+    p = np.asarray(probes, dtype=np.int64).astype(np.uint64)
+    res = bloom_contains(bloom, n_bits, k, p)
+    assert res.shape == (len(probes),)
+
+
+def test_bloom_fpp_bounded():
+    members = np.arange(10_000, dtype=np.uint64) * np.uint64(2654435761)
+    n_bits, k = bloom_params(len(members), fpp=1e-3)
+    bloom = bloom_build(members, n_bits, k)
+    probes = (np.arange(100_000, dtype=np.uint64) + np.uint64(1 << 40)) * np.uint64(
+        0x9E3779B97F4A7C15
+    )
+    fp = bloom_contains(bloom, n_bits, k, probes).mean()
+    assert fp < 5e-3, fp  # 5× slack over the 1e-3 design point
+
+
+def test_bloom_shards_no_false_negatives_across_buckets():
+    hashes = (np.arange(5000, dtype=np.int64) - 2500) * 7919
+    shards = {}
+    n_shards = 16
+    buckets = (hashes % n_shards + n_shards) % n_shards
+    for b in range(n_shards):
+        sub = hashes[buckets == b].astype(np.uint64)
+        n_bits, k = bloom_params(len(sub))
+        shards[b] = (bloom_build(sub, n_bits, k), n_bits, k)
+    bs = BloomShards(n_shards=n_shards, shards=shards)
+    assert bs.maybe_seen(hashes).all()
+    # empty-shard path: hashes of a bucket with no members → all False
+    bs2 = BloomShards(n_shards=n_shards, shards={})
+    assert not bs2.maybe_seen(hashes).any()
+
+
+@given(_keys)
+@settings(max_examples=30, deadline=None)
+def test_cuckoo_insert_contains(keys):
+    shard = CuckooShard(max(len(keys), 8))
+    ok = all(shard.insert(k & 0xFFFFFFFFFFFFFFFF) for k in keys)
+    assert ok  # sized for the load → inserts must all land
+    if keys:
+        assert shard.contains_batch(np.asarray(keys, dtype=np.int64)).all()
+
+
+def test_cuckoo_delete_removes():
+    keys = [(i * 2654435761) % (2**63) for i in range(2000)]
+    shard = CuckooShard(len(keys))
+    for k in keys:
+        assert shard.insert(k)
+    for k in keys[:1000]:
+        assert shard.delete(k)
+    # all remaining keys still present (deletes never break others)
+    rest = np.asarray(keys[1000:], dtype=np.int64)
+    assert shard.contains_batch(rest).all()
+    # deleted keys: mostly gone (fingerprint collisions may retain a few)
+    gone = ~shard.contains_batch(np.asarray(keys[:1000], dtype=np.int64))
+    assert gone.mean() > 0.95
+
+
+def test_cuckoo_bytes_roundtrip():
+    shard = CuckooShard(100)
+    for i in range(100):
+        shard.insert(i * 7919)
+    clone = CuckooShard.from_bytes(shard.to_bytes(), shard.n_buckets)
+    probes = np.arange(100, dtype=np.int64) * 7919
+    assert (
+        clone.contains_batch(probes) == shard.contains_batch(probes)
+    ).all()
+
+
+def test_cuckoo_high_load_fallback_signalled():
+    # overfilled shard must REPORT failure (caller rebuilds), not corrupt
+    shard = CuckooShard(8)  # tiny: 16 buckets × 4 slots = 64 capacity
+    results = [shard.insert(i * 0x9E3779B97F4A7C15 % 2**64) for i in range(80)]
+    assert not all(results)  # must eventually refuse
+    # keys that were accepted are still all present
+    accepted = [
+        i * 0x9E3779B97F4A7C15 % 2**64 for i, r in enumerate(results) if r
+    ]
+    arr = np.asarray(accepted, dtype=np.uint64).astype(np.int64)
+    assert shard.contains_batch(arr).all()
+
+
+@pytest.mark.slow
+def test_bloom_pruned_crawl_equals_exact(spark, tmp_path_factory):
+    """The whole point: a crawl with the bloom pre-filter produces the
+    byte-identical seen set and fetch log as the exact plan."""
+    from engine.crawl import EngineConfig, fetch_log, run_crawl
+    from engine.filters import bloom_seen_filter_factory
+    from engine.snapstore import SnapStore
+    from fixtures.gen import gen_corpus, write_parquet
+    from engine.io import load_corpus
+
+    d = tmp_path_factory.mktemp("xs_corpus")
+    write_parquet(gen_corpus("XS"), str(d))
+    tables = load_corpus(spark, str(d))
+    cfg = EngineConfig(default_budget=2, max_rounds=100, salt=2)
+
+    results = []
+    for factory in (None, bloom_seen_filter_factory(n_shards=8)):
+        store = SnapStore(str(tmp_path_factory.mktemp("bloomstore")))
+        run_crawl(
+            spark,
+            store,
+            tables["pages"],
+            tables["robots"],
+            tables["seeds"],
+            cfg,
+            seen_filter_factory=factory,
+        )
+        log = [tuple(r) for r in fetch_log(spark, store).collect()]
+        seen = sorted(
+            (r["url_hash"], r["url"])
+            for r in store.read(spark, "seen").collect()
+        )
+        results.append((log, seen))
+    assert results[0] == results[1]
