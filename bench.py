@@ -1,0 +1,216 @@
+#!/usr/bin/env python
+"""Per-round benchmark harness (driver contract: ONE JSON line on stdout).
+
+Two parts, both timed end-to-end (plan build → materialization):
+
+1. **Headline registry ops** at ``$SPARK_GRAFT_SF_DIR`` (default
+   /root/testdata/sf0.1) — the relational/dedup/similarity core of the
+   engine over the driver's TPC-H-ish tables, forced through Spark's noop
+   sink so we measure execution, not result transfer.
+2. **Crawl throughput** — the north-rule metric (BASELINE.json:2 "URLs
+   fetched+deduped/sec"): a synthetic Common-Crawl-style frontier scaled
+   to the bench SF (fixtures/gen.py corpus, cached as parquet in /tmp),
+   bootstrapped with a BIG frontier (every page url, canon-hostile raw
+   forms) and a pre-populated seen set (25% of urls) so every round does
+   real anti-join/dedup/politeness/fetch/extract work, then
+   ``engine.crawl.run_round`` for 3 rounds.
+
+Output: {"metric": "headline_suite_sec", "value": <total sec>,
+         "unit": "sec", "queries": {name: sec, ...}, "sf": <float>,
+         "crawl": {"fetched_urls":…, "frontier_urls":…, "sec":…,
+                   "urls_per_sec":…}, "cpus": N}
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+``scripts/bench_scaling.py``, which shells out to this file at two
+parallelism levels (results in BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+
+# Registry ops benched at the full SF (others are covered by correctness
+# runs; these are the ones whose cost scales with the data).
+HEADLINE = [
+    "anti_join_seen",       # the dedup core: 600k-row anti-join
+    "equi_join_fetch",      # fetch join lineitem ⋈ orders
+    "broadcast_join_robots",
+    "politeness_topk",      # per-key top-B window
+    "union_new_links",      # union + lattice groupBy merge
+    "rollup_metrics",       # multi-grain aggregation
+    "asof_join_latest",     # as-of via window
+    "range_join_events",    # equi-key + interval predicate
+    "order_fetch_log",      # global sort
+    "dedup_exact",
+    "dedup_minhash_lsh",    # shingle→minhash→band→bucket-join
+    "dedup_simhash",
+    "embed_cosine_topk",    # brute-force ANN baseline
+    "lang_id",
+    "quality_score",
+    "token_count",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _force(df) -> None:
+    """Materialize fully without driver-side result transfer."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _bench_corpus_dir(sf: float) -> tuple[str, int, int]:
+    """Generate (once, cached) the bench corpus scaled to sf.
+
+    ~800k pages/SF-unit: sf0.1 → 256 hosts × ~312 mean pages ≈ 80k urls,
+    zipfian host sizes (hot-host skew is the point — SURVEY.md §4.2).
+    """
+    target_pages = max(2_000, int(800_000 * sf))
+    n_hosts = max(16, min(512, target_pages // 300))
+    mean_pages = max(6, target_pages // n_hosts)
+    cache = f"/tmp/spark_graft_bench/corpus_{n_hosts}x{mean_pages}"
+    marker = os.path.join(cache, "_DONE")
+    if not os.path.exists(marker):
+        from fixtures.gen import gen_corpus, write_parquet
+
+        shutil.rmtree(cache, ignore_errors=True)
+        corpus = gen_corpus(
+            compute_text=False, n_hosts=n_hosts, mean_pages=mean_pages
+        )
+        write_parquet(corpus, cache)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return cache, n_hosts, mean_pages
+
+
+def bench_crawl(spark, sf: float) -> dict:
+    """North-rule throughput: URLs fetched+deduped/sec over ROUNDS rounds."""
+    from pyspark.sql import functions as F
+
+    from engine.crawl import EngineConfig, pages_index, run_round
+    from engine.frontier import frontier_from_seeds
+    from engine.io import load_corpus
+    from engine.snapstore import SnapStore
+    from engine.udfs import hash64_udf
+
+    corpus_dir, n_hosts, mean_pages = _bench_corpus_dir(sf)
+    t = load_corpus(spark, corpus_dir)
+    pages, robots = t["pages"], t["robots"]
+
+    # Big frontier: every page url in a canon-hostile raw form (uppercase
+    # host — exercises the canonicalization UDF across the whole frontier),
+    # priority = pmod(hash, 100).  Seen pre-populated with ~25% of urls so
+    # the anti-join prunes real volume.
+    urls = pages.select("url").distinct()
+    seeds = urls.select(
+        F.concat(
+            F.lit("HTTP://"),
+            F.upper(F.regexp_extract("url", r"http://([^/]+)/", 1)),
+            F.regexp_extract("url", r"http://[^/]+(/.*)", 1),
+        ).alias("url"),
+        F.pmod(F.xxhash64("url"), F.lit(100)).cast("int").alias("priority"),
+    )
+    store = SnapStore(tempfile.mkdtemp(prefix="bench_crawl_"))
+    pidx = pages_index(pages.select("url", "warc_ts", "html")).persist()
+
+    t0 = time.time()
+    seen0 = (
+        urls.repartition(CPUS, "url")
+        .withColumn("url_hash", hash64_udf("url"))
+        .filter(F.pmod(F.col("url_hash"), F.lit(4)) == 0)
+        .select("url_hash", "url", F.lit(-1).alias("fetched_round"))
+    )
+    store.commit_state(
+        0,
+        {"frontier": frontier_from_seeds(seeds), "seen": seen0},
+        {"round": -1},
+    )
+
+    budget = max(8, (mean_pages * 3) // (4 * ROUNDS))
+    cfg = EngineConfig(default_budget=budget, max_rounds=ROUNDS, salt=8)
+    fetched = 0
+    for r in range(ROUNDS):
+        m = run_round(spark, store, r, pidx, robots, cfg, fetched)
+        fetched += m["n_selected"]
+    sec = time.time() - t0
+
+    frontier_n = urls.count()
+    out = {
+        "fetched_urls": int(fetched),
+        "frontier_urls": int(frontier_n),
+        "rounds": ROUNDS,
+        "hosts": n_hosts,
+        "budget_per_host": budget,
+        "sec": round(sec, 3),
+        "urls_per_sec": round(fetched / sec, 1),
+    }
+    shutil.rmtree(store.root, ignore_errors=True)
+    return out
+
+
+def main() -> int:
+    from engine.ops import REGISTRY, _load_all
+    from engine.session import get_spark
+
+    sf = _sf_from_dir(SF_DIR)
+    spark = get_spark(
+        master=f"local[{CPUS}]",
+        app_name="bench",
+        shuffle_partitions=CPUS,
+        extra={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "48g"
+            ),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    _load_all()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY.get(name)
+        if spec is None:
+            continue
+        t0 = time.time()
+        _force(spec.fn(spark, SF_DIR))
+        times[name] = round(time.time() - t0, 3)
+
+    crawl = bench_crawl(spark, sf)
+    times["crawl_3rounds"] = crawl["sec"]
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "crawl": crawl,
+                "cpus": CPUS,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -123,9 +123,16 @@ def run_round(
         pages_idx.select("url_hash", "html"), "url_hash", "left"
     )
 
-    # 5. Arrow-UDF extraction (ops F3/F4); html dropped immediately after
+    # 5. Arrow-UDF extraction (ops F3/F4); html dropped immediately after.
+    # Explicit repartition first: the fetch batch is politeness-budget-sized
+    # (small in BYTES), so AQE's byte-based coalescing would shrink it to a
+    # few partitions and serialize the CPU-bound Python extraction — UDF
+    # stages are CPU-sized, not byte-sized.  Hash on url_hash keeps the
+    # assignment deterministic.
+    n_par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ext = (
-        fetched.withColumn("text", extract_text_udf("html"))
+        fetched.repartition(n_par, "url_hash")
+        .withColumn("text", extract_text_udf("html"))
         .withColumn("links", extract_links_udf("html", "url"))
         .withColumn(
             "status",
@@ -162,15 +169,19 @@ def run_round(
         )
     )
 
-    # 7. advance state
+    # 7. advance state.  `removed` is selected ∪ robots-blocked — it feeds
+    # three downstream writes (seen delta, kids anti-join, survivor
+    # anti-join), so persist it once instead of recomputing the
+    # anti-join + robots chain per write.  The seen table is APPEND-only:
+    # this round commits just `seen_delta` (O(round), not O(history)).
     removed = ext.select("url_hash", "url").unionByName(
         blocked.select("url_hash", "url")
     )
-    seen_next = seen.unionByName(
-        removed.withColumn("fetched_round", F.lit(rnd)).select(
-            "url_hash", "url", "fetched_round"
-        )
+    removed = removed.persist()
+    seen_delta = removed.withColumn("fetched_round", F.lit(rnd)).select(
+        "url_hash", "url", "fetched_round"
     )
+    seen_next = seen.unionByName(seen_delta)
 
     kids = (
         ext.filter(F.col("status") == "200")
@@ -180,6 +191,9 @@ def run_round(
             (F.col("depth") + 1).alias("depth"),
             F.explode("links").alias("url"),
         )
+        # same CPU-vs-bytes story as extraction: spread the exploded links
+        # across all cores before the canon+hash Arrow UDF
+        .repartition(n_par, "url")
         .withColumn("url_hash", hash64_udf("url"))
     )
     kids = with_host(kids).select(
@@ -210,13 +224,14 @@ def run_round(
         rnd + 1,
         {
             "frontier": frontier_next,
-            "seen": seen_next,
+            "seen": seen_delta,
             "lineage": lineage,
             "pages_out": pages_out,
         },
         metrics,
     )
     ext.unpersist()
+    removed.unpersist()
     return metrics
 
 
@@ -250,7 +265,9 @@ def run_crawl(
             raise ValueError("empty store and no seeds")
         bootstrap(spark, store, seeds)
 
-    pages_idx = pages_index(pages)
+    # the pages index (url_hash + as-of dedup) is round-invariant: compute
+    # once, keep it cached across rounds (cluster analog: stored bucketed)
+    pages_idx = pages_index(pages).persist()
     rounds_done = 0
     while True:
         sid = store.latest()
@@ -274,6 +291,7 @@ def run_crawl(
             seen_filter,
         )
         rounds_done += 1
+    pages_idx.unpersist()
     return rounds_done
 
 

@@ -69,8 +69,14 @@ def merge_frontier(df: DataFrame) -> DataFrame:
 def frontier_from_seeds(seeds_df: DataFrame) -> DataFrame:
     """Round-0 frontier: canonicalize + hash seeds (Arrow UDF), drop
     invalid urls, lattice-merge duplicates (keep max priority)."""
+    # spread seeds across all cores before the CPU-bound canon UDF (same
+    # AQE-coalesces-by-bytes issue as engine/crawl.py step 5)
+    n_par = int(
+        seeds_df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     canned = (
-        seeds_df.select(
+        seeds_df.repartition(n_par, "url")
+        .select(
             canon_hash_udf(F.col("url")).alias("c"),
             F.col("priority").cast(IntegerType()).alias("priority"),
         )

@@ -18,10 +18,14 @@ two backends:
   everything above this module only sees the interface.
 
 Snapshot id s = crawl state AFTER round s-1; id 0 is the bootstrap state
-(seeded frontier, empty seen).  frontier/seen are REPLACE tables (each
-snapshot owns a full copy at test scale; Iceberg's overwritePartitions
-makes this differential at cluster scale), lineage is an APPEND table
-(reading state s unions rounds 0..s-1).
+(seeded frontier, empty seen).  frontier is a REPLACE table (each snapshot
+owns a full copy at test scale; Iceberg's overwritePartitions makes this
+differential at cluster scale); seen/lineage/pages_out are APPEND tables —
+each round commits only its DELTA and reading state s unions rounds
+0..s-1.  Appending the seen delta instead of rewriting the whole seen set
+is what keeps the per-round write O(round size), not O(crawl history) —
+at a 10^10-URL frontier a full seen rewrite per round would dominate
+everything (and is exactly what Iceberg's fast append avoids).
 """
 
 from __future__ import annotations
@@ -32,8 +36,8 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
-REPLACE_TABLES = ("frontier", "seen")
-APPEND_TABLES = ("lineage", "pages_out")
+REPLACE_TABLES = ("frontier",)
+APPEND_TABLES = ("seen", "lineage", "pages_out")
 
 
 class SnapStore:

@@ -121,8 +121,16 @@ def _lang(url: str) -> str:
     return "en" if r < 90 else ("de" if r < 95 else "fr")
 
 
-def gen_corpus(size: str = "S", compute_text: bool = True) -> Corpus:
-    n_hosts, mean_pages = SIZES[size]
+def gen_corpus(
+    size: str = "S",
+    compute_text: bool = True,
+    n_hosts: int | None = None,
+    mean_pages: int | None = None,
+) -> Corpus:
+    """Generate the corpus; ``n_hosts``/``mean_pages`` override ``size``
+    (used by bench.py to scale the synthetic frontier with the bench SF)."""
+    if n_hosts is None or mean_pages is None:
+        n_hosts, mean_pages = SIZES[size]
     sizes = _zipf_sizes(n_hosts, mean_pages)
     pages: list[dict] = []
     for h in range(n_hosts):
