@@ -53,7 +53,18 @@ class EngineConfig:
 def pages_index(pages: DataFrame) -> DataFrame:
     """url_hash + as-of snapshot resolution (SURVEY.md §2 C5): keep, per
     url, the row with the greatest warc_ts.  One shuffle on url_hash; on a
-    cluster this index is computed once and stored bucketed by url_hash."""
+    cluster this index is computed once and stored bucketed by url_hash.
+
+    The trailing explicit repartition pins HashPartitioning(url_hash, P)
+    on the output (AQE would otherwise coalesce it away at persist time):
+    when the caller persists this index, every round's fetch join sees a
+    cached side that already satisfies its distribution requirement, so
+    the html column NEVER crosses a shuffle after the one-time build —
+    only the politeness-budget-sized selected set shuffles per round.
+    This is the local analog of storing pages bucketed by url_hash in
+    Iceberg (storage-partitioned join)."""
+    spark = pages.sparkSession
+    n_par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     h = pages.withColumn("url_hash", hash64_udf("url"))
     w = Window.partitionBy("url_hash").orderBy(
         F.col("warc_ts").desc(), F.col("url").asc()
@@ -62,6 +73,7 @@ def pages_index(pages: DataFrame) -> DataFrame:
         h.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+        .repartition(n_par, "url_hash")
     )
 
 
@@ -118,21 +130,22 @@ def run_round(
         allowed, cfg.default_budget, cfg.budget_overrides, cfg.salt
     )
 
-    # 4. fetch = left join pages index on url_hash (ops C4/C5)
-    fetched = selected.join(
+    # 4. fetch = left join pages index on url_hash (ops C4/C5).  The
+    # selected side is repartitioned to HashPartitioning(url_hash, P)
+    # FIRST, for two reasons: (a) it matches the persisted pages index's
+    # pinned partitioning, so the join needs no exchange on the html side;
+    # (b) the fetch batch is politeness-budget-sized (small in BYTES), and
+    # AQE's byte-based coalescing would otherwise shrink it to a few
+    # partitions and serialize the CPU-bound Arrow extraction downstream —
+    # UDF stages are CPU-sized, not byte-sized.
+    n_par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    fetched = selected.repartition(n_par, "url_hash").join(
         pages_idx.select("url_hash", "html"), "url_hash", "left"
     )
 
-    # 5. Arrow-UDF extraction (ops F3/F4); html dropped immediately after.
-    # Explicit repartition first: the fetch batch is politeness-budget-sized
-    # (small in BYTES), so AQE's byte-based coalescing would shrink it to a
-    # few partitions and serialize the CPU-bound Python extraction — UDF
-    # stages are CPU-sized, not byte-sized.  Hash on url_hash keeps the
-    # assignment deterministic.
-    n_par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # 5. Arrow-UDF extraction (ops F3/F4); html dropped immediately after
     ext = (
-        fetched.repartition(n_par, "url_hash")
-        .withColumn("text", extract_text_udf("html"))
+        fetched.withColumn("text", extract_text_udf("html"))
         .withColumn("links", extract_links_udf("html", "url"))
         .withColumn(
             "status",

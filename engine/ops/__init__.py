@@ -68,8 +68,10 @@ def _load_all() -> None:
     import engine.ops.filterops  # noqa: F401
     import engine.ops.functions  # noqa: F401
     import engine.ops.multimodalops  # noqa: F401
+    import engine.ops.pandasops  # noqa: F401
     import engine.ops.relational  # noqa: F401
     import engine.ops.simsearch  # noqa: F401
+    import engine.ops.streamingops  # noqa: F401
     import engine.ops.textops  # noqa: F401
 
     _loaded = True

@@ -118,3 +118,18 @@ def json_map_suite(spark, sf):
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k_val"),
     )
+
+
+@op(
+    "explode_links",
+    "SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents "
+    "WHERE doc_id < 100",
+    "F",
+)
+def explode_links_op(spark, sf):
+    # one row per (src, dst) edge — the frontier-growth shape (SURVEY.md
+    # §2 F explode_links); tokens stand in for hrefs on the oracle corpus
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )

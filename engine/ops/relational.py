@@ -484,3 +484,22 @@ def intersect_invariant(spark, sf):
     a = orders.filter(F.col("o_orderstatus") == "O").select("o_orderkey")
     b = orders.filter(F.col("o_totalprice") > 150000).select("o_orderkey")
     return a.intersect(b)
+
+
+@op(
+    "agg_sort_fallback",
+    "SELECT l_orderkey, l_linenumber, COUNT(*) AS n, "
+    "ROUND(SUM(l_extendedprice), 4) AS sum_price FROM lineitem "
+    "GROUP BY l_orderkey, l_linenumber",
+    "D",
+)
+def agg_sort_fallback(spark, sf):
+    # near-unique grouping keys: the hash aggregate's worst case — at
+    # 10^10 this is the path that must spill gracefully (SURVEY.md §2 D
+    # agg_sort_fallback; §4 'spill-to-disk' row).  Catalyst still does
+    # partial→final; the test is that semantics hold at high cardinality.
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+    )

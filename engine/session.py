@@ -12,9 +12,15 @@ from pyspark.sql import SparkSession
 ENGINE_CONFS = {
     # determinism / semantics
     "spark.sql.session.timeZone": "UTC",
-    # Arrow-vectorized pandas UDFs (BASELINE.json:15 — no per-row Python)
+    # Arrow-vectorized pandas UDFs (BASELINE.json:15 — no per-row Python).
+    # Batches are bounded by BYTES, not only records: html rows are ~20 KB,
+    # so 10k-record batches would be ~200 MB each — at 32 concurrent UDF
+    # tasks that is multi-GB of in-flight Arrow buffers and GC collapse
+    # (measured: 4x slowdown at local[32]).  32 MB keeps wide-row batches
+    # sane while tiny-row UDFs still get full 10k-record batches.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.execution.arrow.maxBytesPerBatch": "33554432",
     # adaptive execution: post-shuffle coalesce + skew-join splitting
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -5,7 +5,7 @@ per-row Python" — i.e. no row-at-a-time ``udf()``); each batch crosses the
 JVM↔Python boundary once as Arrow columns.  The per-element work inside a
 batch calls the same pure functions the refspec oracle calls, which is what
 makes byte-identity an invariant by construction rather than a hope
-(tests/test_pure.py asserts vectorized ≡ scalar on identical inputs).
+(tests/test_properties.py asserts vectorized ≡ scalar on identical inputs).
 """
 
 from __future__ import annotations

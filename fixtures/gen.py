@@ -80,7 +80,26 @@ def _raw_href(h: int, k: int, salt: str) -> str:
 
 def _body_words(url: str, n: int = 24) -> str:
     h = stable_hash(url)
-    return " ".join(_LOREM[(h >> (i % 48)) % len(_LOREM) + 0] for i in range(n))
+    base = [_LOREM[(h >> (i % 48)) % len(_LOREM) + 0] for i in range(min(n, 48))]
+    if n <= 48:
+        return " ".join(base)
+    # large bodies (scaling corpus): tile the 48-word hash-derived base —
+    # O(1) hashing per page instead of O(n) while staying deterministic.
+    # Real web pages are markup-DENSE (the html parser does work per tag
+    # event, not per byte), so wrap words in inline tags at a fixed cadence;
+    # a single giant <p> of plain words would be unrealistically cheap to
+    # extract and would understate extraction CPU in benchmarks.
+    reps = -(-n // 48)
+    words = (base * reps)[:n]
+    out = []
+    for j, w in enumerate(words):
+        if j % 3 == 1:
+            out.append(f"<b>{w}</b>")
+        elif j % 7 == 2:
+            out.append(f"<i>{w}</i>")
+        else:
+            out.append(w)
+    return " ".join(out)
 
 
 def _outlinks(h: int, k: int, n_hosts: int, sizes: list[int]) -> list[str]:
@@ -102,9 +121,16 @@ def _outlinks(h: int, k: int, n_hosts: int, sizes: list[int]) -> list[str]:
     return hrefs
 
 
-def render_html(h: int, k: int, n_hosts: int, sizes: list[int], version: int = 1) -> bytes:
+def render_html(
+    h: int,
+    k: int,
+    n_hosts: int,
+    sizes: list[int],
+    version: int = 1,
+    body_words: int = 24,
+) -> bytes:
     url = _url(h, k)
-    body = _body_words(url) + (" v2 refresh" if version == 2 else "")
+    body = _body_words(url, body_words) + (" v2 refresh" if version == 2 else "")
     links = "".join(
         f'<a href="{raw}">L{i}</a>' for i, raw in enumerate(_outlinks(h, k, n_hosts, sizes))
     )
@@ -126,9 +152,12 @@ def gen_corpus(
     compute_text: bool = True,
     n_hosts: int | None = None,
     mean_pages: int | None = None,
+    body_words: int = 24,
 ) -> Corpus:
     """Generate the corpus; ``n_hosts``/``mean_pages`` override ``size``
-    (used by bench.py to scale the synthetic frontier with the bench SF)."""
+    (used by bench.py to scale the synthetic frontier with the bench SF);
+    ``body_words`` sizes each page's body (scaling corpus uses ~3000 ≈
+    a realistic ~20 KB web page; default 24 keeps the golden S corpus)."""
     if n_hosts is None or mean_pages is None:
         n_hosts, mean_pages = SIZES[size]
     sizes = _zipf_sizes(n_hosts, mean_pages)
@@ -137,7 +166,7 @@ def gen_corpus(
         for k in range(sizes[h]):
             url = _url(h, k)
             ts = EPOCH + timedelta(seconds=stable_hash(url) % (30 * 86400))
-            html = render_html(h, k, n_hosts, sizes)
+            html = render_html(h, k, n_hosts, sizes, body_words=body_words)
             pages.append(
                 {
                     "url": url,
@@ -149,7 +178,7 @@ def gen_corpus(
             )
             # ~5% of urls get a second, later warc snapshot (as-of op C5)
             if stable_hash(url + "#snap2") % 100 < 5:
-                html2 = render_html(h, k, n_hosts, sizes, version=2)
+                html2 = render_html(h, k, n_hosts, sizes, version=2, body_words=body_words)
                 pages.append(
                     {
                         "url": url,
@@ -206,9 +235,17 @@ def write_parquet(corpus: Corpus, out_dir: str) -> dict[str, str]:
             ("lang", pa.string()),
         ]
     )
-    pages_tbl = pa.Table.from_pylist(corpus.pages, schema=pages_schema)
     paths["pages"] = os.path.join(out_dir, "pages.parquet")
-    pq.write_table(pages_tbl, paths["pages"])
+    # chunked write: the scaling corpus is ~10+ GB of html — stream row
+    # groups instead of materializing one giant Arrow table
+    chunk = 25_000
+    with pq.ParquetWriter(paths["pages"], pages_schema) as w:
+        for i in range(0, len(corpus.pages), chunk):
+            w.write_table(
+                pa.Table.from_pylist(
+                    corpus.pages[i : i + chunk], schema=pages_schema
+                )
+            )
 
     seeds_tbl = pa.Table.from_pylist(
         [{"url": u, "priority": p} for u, p in corpus.seeds],

@@ -37,7 +37,8 @@ def _norm(v):
 
 def multiset(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    # sort by repr: nullable columns make raw tuples unorderable (None < int)
+    out = sorted((tuple(_norm(r[i]) for i in order) for r in rows), key=repr)
     return out
 
 

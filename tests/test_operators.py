@@ -1,0 +1,147 @@
+"""Operator-level checks the DuckDB oracle can't express (SURVEY.md §5.1
+footnotes): MapType after from_json, the cogrouped as-of join vs a
+driver-side merge_asof, the grouped-agg UDAF vs numpy, streaming ops vs
+their batch equivalents, and registry hygiene.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_registry_keys_unique_and_callable(spark):
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert len(q) >= 60
+    assert set(o) <= set(q)
+    assert all(callable(f) for f in q.values())
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"round", "url", "status", "fetch_seq"} <= set(df.columns)
+
+
+def test_from_json_maptype_path(spark):
+    from engine.io import load_table
+
+    ev = load_table(spark, SF, "events").limit(200)
+    m = ev.select(
+        "event_id",
+        F.from_json("props", "map<string,string>").alias("pm"),
+        "props",
+    )
+    for r in m.collect():
+        exp = {k: str(v) for k, v in json.loads(r["props"]).items()}
+        assert dict(r["pm"]) == exp
+
+
+def test_asof_cogroup_matches_pandas_merge_asof(spark):
+    from engine.io import load_table
+    from engine.ops import REGISTRY, _load_all
+
+    _load_all()
+    got = {
+        r["purchase_id"]: (r["purchase_ts"], r["user_id"], r["click_ts"])
+        for r in REGISTRY["asof_join_cogroup"].fn(spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    ).toPandas()
+    p = ev[ev.event_type == "purchase"].sort_values("ts")
+    c = (
+        ev[ev.event_type == "click"][["ts", "user_id"]]
+        .sort_values("ts")
+        .assign(ts_c=lambda d: d["ts"])
+    )
+    exp = pd.merge_asof(p, c, on="ts", by="user_id", direction="backward")
+    assert len(got) == len(p)
+    for _, row in exp.iterrows():
+        pid = int(row["event_id"])
+        want_click = (
+            int(row["ts_c"].value // 10**9) if pd.notna(row["ts_c"]) else None
+        )
+        assert got[pid] == (
+            int(row["ts"].value // 10**9),
+            int(row["user_id"]),
+            want_click,
+        ), pid
+
+
+def test_grouped_agg_udaf_matches_numpy(spark):
+    from engine.io import load_table
+    from engine.ops import REGISTRY, _load_all
+
+    _load_all()
+    got = {
+        r["source"]: r["p90_chars"]
+        for r in REGISTRY["host_bytes_p90"].fn(spark, SF).collect()
+    }
+    docs = load_table(spark, SF, "documents").select("source", "n_chars").toPandas()
+    for src, grp in docs.groupby("source"):
+        exp = round(float(np.percentile(grp["n_chars"].astype("float64"), 90)), 4)
+        assert got[src] == exp, src
+
+
+def test_streaming_tumbling_equals_batch(spark):
+    from engine.io import load_table
+    from engine.ops import REGISTRY, _load_all
+
+    _load_all()
+    stream_rows = sorted(
+        map(tuple, REGISTRY["tumbling_metrics"].fn(spark, SF).collect())
+    )
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    assert stream_rows == sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_dedup_equals_distinct(spark):
+    from engine.io import load_table
+    from engine.ops import REGISTRY, _load_all
+
+    _load_all()
+    got = sorted(
+        map(tuple, REGISTRY["stream_dedup"].fn(spark, SF).collect())
+    )
+    exp = sorted(
+        map(
+            tuple,
+            load_table(spark, SF, "events")
+            .select("user_id", "event_type")
+            .distinct()
+            .collect(),
+        )
+    )
+    assert got == exp
+
+
+def test_stream_rounds_foreachbatch_consumes_everything(spark):
+    from engine.io import load_table
+    from engine.ops import REGISTRY, _load_all
+
+    _load_all()
+    out = REGISTRY["stream_rounds"].fn(spark, SF).collect()
+    assert sum(r["n"] for r in out) == load_table(spark, SF, "events").count()

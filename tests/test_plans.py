@@ -1,0 +1,109 @@
+"""Physical-plan assertions (SURVEY.md §4): the plans we designed for are
+the plans Catalyst actually produces — filter pushdown to parquet, column
+pruning, zero-exchange fetch join against the cached pages index, and
+Arrow (not row-at-a-time) Python evaluation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushed_to_parquet_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "lang")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    # column pruning: the scan reads only the 2 referenced columns
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+    assert "text" not in plan.split("ReadSchema")[1]
+
+
+def test_fetch_join_reuses_cached_pages_index_partitioning(spark, corpus_dir):
+    """The persisted pages index carries HashPartitioning(url_hash, P); the
+    per-round fetch join must NOT re-shuffle the html side (engine/crawl.py
+    step 4) — only the politeness-sized selected side gets one exchange."""
+    from engine.crawl import pages_index
+    from engine.io import load_corpus
+
+    pages = load_corpus(spark, corpus_dir)["pages"]
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pidx = pages_index(pages.select("url", "warc_ts", "html")).persist()
+        pidx.count()
+        n_par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        selected = pidx.select("url_hash").limit(10)
+        joined = selected.repartition(n_par, "url_hash").join(
+            pidx.select("url_hash", "html"), "url_hash", "left"
+        )
+        plan = _plan(joined)
+        assert "InMemoryTableScan" in plan
+        # exactly one exchange: the REPARTITION_BY_NUM on the selected side
+        # (the limit(10) side adds its own single-partition exchange pair,
+        # so count exchanges that hash-partition on url_hash)
+        n_hash_exchanges = plan.count("Exchange hashpartitioning(url_hash")
+        assert n_hash_exchanges == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        pidx.unpersist()
+
+
+def test_extraction_is_arrow_vectorized_not_per_row(spark, corpus_dir):
+    from engine.io import load_corpus
+    from engine.udfs import extract_links_udf, extract_text_udf
+
+    pages = load_corpus(spark, corpus_dir)["pages"]
+    df = pages.select(
+        extract_text_udf("html").alias("text"),
+        extract_links_udf("html", "url").alias("links"),
+    )
+    plan = _plan(df)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan  # the per-row evaluator
+
+
+def test_anti_join_is_hash_or_merge_not_nested_loop(spark):
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    anti = lineitem.select("l_orderkey").join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "left_anti",
+    )
+    plan = _plan(anti)
+    assert "NestedLoop" not in plan
+    assert any(
+        k in plan for k in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+
+
+def test_politeness_window_uses_group_limit_pushdown(spark):
+    """Spark 4's WindowGroupLimit must kick in for the top-B filter —
+    partial limits run BEFORE the shuffle, which is what keeps the
+    politeness step linear at 10^10 (observed in §4 plan review)."""
+    from engine.politeness import select_top_b
+
+    df = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(
+            F.col("doc_id").alias("url_hash"),
+            F.concat(F.lit("http://h/"), F.col("doc_id")).alias("url"),
+            F.col("source").alias("host"),
+            F.lit(1).alias("priority"),
+            F.lit(0).alias("depth"),
+            F.lit(0).alias("discovered_round"),
+            F.lit("").alias("src_url"),
+        )
+    )
+    plan = _plan(select_top_b(df, 2, {}, salt=8))
+    assert "WindowGroupLimit" in plan

@@ -1,0 +1,129 @@
+"""Crash/resume (SURVEY.md §3.4, §5.5; BASELINE.json:14 'a killed crawl
+resumes mid-round'): kill between the data write and the manifest commit,
+resume, and the final state must be byte-for-byte the uninterrupted run's.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from engine.crawl import EngineConfig, fetch_log, run_crawl
+from engine.io import load_corpus
+from engine.snapstore import SnapStore
+from fixtures.gen import gen_corpus, write_parquet
+
+
+class KillBeforeManifest(SnapStore):
+    """Writes snapshot ``kill_at``'s data dirs, then dies before the
+    manifest — the worst-case crash window of the commit protocol."""
+
+    def __init__(self, root: str, kill_at: int):
+        super().__init__(root)
+        self.kill_at = kill_at
+
+    def commit_state(self, sid, tables, metrics=None):
+        if sid == self.kill_at:
+            for name, df in tables.items():
+                rel = os.path.join(name, f"s={sid:06d}")
+                df.write.mode("overwrite").parquet(
+                    os.path.join(self.data_dir, rel)
+                )
+            raise RuntimeError("simulated kill before manifest")
+        super().commit_state(sid, tables, metrics)
+
+
+@pytest.fixture(scope="module")
+def xs(tmp_path_factory):
+    corpus = gen_corpus("XS")
+    d = tmp_path_factory.mktemp("xs_corpus")
+    write_parquet(corpus, str(d))
+    return corpus, str(d)
+
+
+def _cfg(corpus):
+    return EngineConfig(
+        default_budget=corpus.default_budget,
+        budget_overrides=corpus.budget_overrides,
+        max_rounds=100,
+        salt=4,
+    )
+
+
+def _final_state(spark, store):
+    log = [
+        (r["round"], r["url"], r["status"])
+        for r in fetch_log(spark, store).collect()
+    ]
+    seen = sorted(
+        (r["url_hash"], r["url"], r["fetched_round"])
+        for r in store.read(spark, "seen").collect()
+    )
+    return log, seen, store.latest()
+
+
+def test_kill_resume_equals_uninterrupted(spark, xs, tmp_path_factory):
+    corpus, corpus_dir = xs
+    tables = load_corpus(spark, corpus_dir)
+    cfg = _cfg(corpus)
+
+    # uninterrupted reference run
+    a = SnapStore(str(tmp_path_factory.mktemp("store_a")))
+    run_crawl(spark, a, tables["pages"], tables["robots"], tables["seeds"], cfg)
+
+    # killed run: dies writing snapshot 3's data, before its manifest
+    b_root = str(tmp_path_factory.mktemp("store_b"))
+    b_kill = KillBeforeManifest(b_root, kill_at=3)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        run_crawl(
+            spark, b_kill, tables["pages"], tables["robots"], tables["seeds"], cfg
+        )
+    # orphan data dirs exist for snapshot 3, but it is invisible
+    b = SnapStore(b_root)
+    assert b.latest() == 2
+    orphan = os.path.join(b.data_dir, "frontier", "s=000003")
+    assert os.path.isdir(orphan)
+
+    # resume re-runs round 2 (overwriting orphans) and finishes the crawl
+    rounds = run_crawl(
+        spark, b, tables["pages"], tables["robots"], tables["seeds"], cfg
+    )
+    assert rounds > 0
+    assert _final_state(spark, b) == _final_state(spark, a)
+
+
+def test_finished_crawl_resume_is_noop(spark, xs, tmp_path_factory):
+    corpus, corpus_dir = xs
+    tables = load_corpus(spark, corpus_dir)
+    cfg = _cfg(corpus)
+    store = SnapStore(str(tmp_path_factory.mktemp("store_noop")))
+    run_crawl(
+        spark, store, tables["pages"], tables["robots"], tables["seeds"], cfg
+    )
+    before = _final_state(spark, store)
+    assert (
+        run_crawl(
+            spark, store, tables["pages"], tables["robots"], tables["seeds"], cfg
+        )
+        == 0
+    )
+    assert _final_state(spark, store) == before
+
+
+def test_gc_orphans_removes_only_uncommitted(spark, xs, tmp_path_factory):
+    corpus, corpus_dir = xs
+    tables = load_corpus(spark, corpus_dir)
+    cfg = _cfg(corpus)
+    root = str(tmp_path_factory.mktemp("store_gc"))
+    kill = KillBeforeManifest(root, kill_at=2)
+    with pytest.raises(RuntimeError):
+        run_crawl(
+            spark, kill, tables["pages"], tables["robots"], tables["seeds"], cfg
+        )
+    store = SnapStore(root)
+    removed = store.gc_orphans()
+    assert any("s=000002" in r for r in removed)
+    # committed snapshots untouched and still readable
+    assert store.latest() == 1
+    assert store.read(spark, "frontier", 1).count() > 0

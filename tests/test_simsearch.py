@@ -1,0 +1,72 @@
+"""Similarity-search checks (engine/ops/simsearch.py): the exact
+brute-force top-k against numpy, and the LSH bucket path's recall
+against the exact baseline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    from engine.io import load_table
+
+    rows = (
+        load_table(spark, SF, "embeddings").select("vec_id", "embedding").collect()
+    )
+    return {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+
+
+def _numpy_topk(vecs, n_queries=5, k=5):
+    out = {}
+    cands = {i: v for i, v in vecs.items() if i >= n_queries}
+    for q in range(n_queries):
+        qv = vecs[q]
+        scored = [
+            (round(float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), 6), -c)
+            for c, v in cands.items()
+        ]
+        top = sorted(scored, reverse=True)[:k]
+        out[q] = [(-c, r + 1) for r, (_, c) in enumerate(top)]
+    return out
+
+
+def test_brute_force_topk_matches_numpy(spark, vecs):
+    from engine.ops import REGISTRY, _load_all
+
+    _load_all()
+    got = {}
+    for r in REGISTRY["embed_cosine_topk"].fn(spark, SF).collect():
+        got.setdefault(r["query_id"], []).append((r["cand_id"], r["rnk"]))
+    exp = _numpy_topk(vecs)
+    for q in exp:
+        assert sorted(got[q], key=lambda x: x[1]) == exp[q], q
+
+
+def test_lsh_bucket_recall_vs_exact(spark, vecs):
+    """The bucketed ANN path trades recall for never materializing the
+    cross join; on the synthetic embeddings its bucket must still recover
+    a useful fraction of the exact top-5 and every hit it reports must be
+    a genuine candidate (same bucket ⇒ cosine computed exactly)."""
+    from engine.ops import REGISTRY, _load_all
+
+    _load_all()
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in REGISTRY["embed_cosine_topk"].fn(spark, SF).collect()
+    }
+    ann_rows = REGISTRY["ann_lsh_bucket"].fn(spark, SF).collect()
+    ann = {(r["query_id"], r["cand_id"]) for r in ann_rows}
+    assert ann_rows, "ANN returned nothing"
+    # exact cosine re-rank inside the bucket: values must match numpy
+    for r in ann_rows[:20]:
+        qv, cv = vecs[r["query_id"]], vecs[r["cand_id"]]
+        exp = round(float(qv @ cv / (np.linalg.norm(qv) * np.linalg.norm(cv))), 6)
+        assert abs(r["cos"] - exp) < 1e-5
+    recall = len(ann & exact) / len(exact)
+    # pinned floor for the deterministic sha-derived hyperplanes at sf0.001
+    assert recall >= 0.2, recall
