@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import ArrayType, IntegerType
 
 from engine.io import load_table
 from engine.ops import op
@@ -27,7 +27,13 @@ from engine.textanalysis import _derived_u64
 N_QUERIES = 5  # vec_id < 5 are the query set in the registry entries
 TOP_K = 5
 DIM = 64
-N_PLANES = 8  # 2^8 = 256 LSH buckets
+# multi-table sign-LSH: L independent tables of P hyperplanes each.  A
+# candidate pairs with a query if they share a bucket in ANY table —
+# recall = 1-(1-p^P)^L where p = 1-θ/π, tunable without touching the
+# join shape.  (A single wide table is precision-heavy and collapses to
+# ~zero recall when buckets outnumber vectors.)
+N_PLANES = 6  # 64 buckets per table
+N_TABLES = 4
 
 
 def _dbl(col):
@@ -117,28 +123,35 @@ def _hyperplanes() -> np.ndarray:
     vals = np.asarray(
         [
             _derived_u64("hp", i) / float(1 << 64) - 0.5
-            for i in range(N_PLANES * DIM)
+            for i in range(N_TABLES * N_PLANES * DIM)
         ]
     )
-    return vals.reshape(N_PLANES, DIM)
+    return vals.reshape(N_TABLES, N_PLANES, DIM)
 
 
-@F.pandas_udf(IntegerType())
+@F.pandas_udf(ArrayType(IntegerType()))
 def _lsh_bucket_udf(embs: pd.Series) -> pd.Series:
-    planes = _hyperplanes()  # (P, D)
+    planes = _hyperplanes()  # (L, P, D)
     mat = np.stack(embs.to_numpy())  # (n, D)
-    signs = (mat @ planes.T) > 0  # (n, P)
-    out = np.zeros(len(embs), dtype=np.int32)
-    for p in range(N_PLANES):
-        out |= signs[:, p].astype(np.int32) << p
-    return pd.Series(out)
+    out = np.zeros((len(embs), N_TABLES), dtype=np.int32)
+    for t in range(N_TABLES):
+        signs = (mat @ planes[t].T) > 0  # (n, P)
+        code = np.zeros(len(embs), dtype=np.int32)
+        for p in range(N_PLANES):
+            code |= signs[:, p].astype(np.int32) << p
+        # disambiguate tables so the bucket key is (table, code) in one int
+        out[:, t] = code | (t << N_PLANES)
+    return pd.Series(list(out))
 
 
 def lsh_buckets(emb: DataFrame) -> DataFrame:
+    """One row per (vector, table): explode the L bucket codes.  The
+    downstream candidate join keys on the bucket int (table id baked into
+    the high bits), exactly the shuffle topology a 10^10-scale ANN uses."""
     return emb.select(
         "vec_id",
         "embedding",
-        _lsh_bucket_udf("embedding").alias("bucket"),
+        F.explode(_lsh_bucket_udf("embedding")).alias("bucket"),
     )
 
 
@@ -160,10 +173,15 @@ def ann_lsh_bucket(spark, sf):
         F.col("embedding").alias("c_emb"),
         "bucket",
     )
-    scored = c.join(F.broadcast(q), "bucket").select(
-        "query_id",
-        "cand_id",
-        F.round(cosine_col(F.col("q_emb"), F.col("c_emb")), 6).alias("cos"),
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine_col(F.col("q_emb"), F.col("c_emb")), 6).alias("cos"),
+        )
+        # a pair can meet in several tables — dedup before ranking
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("cand_id").asc()
