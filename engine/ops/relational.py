@@ -503,3 +503,34 @@ def agg_sort_fallback(spark, sf):
         F.count("*").alias("n"),
         F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
     )
+
+
+@op(
+    "cube_metrics",
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+    "ROUND(SUM(l_quantity), 4) AS sum_qty FROM lineitem "
+    "GROUP BY CUBE (l_returnflag, l_linestatus)",
+    "D",
+)
+def cube_metrics(spark, sf):
+    # all 2^k grains in one pass (SURVEY.md §2 D rollup/cube family)
+    li = load_table(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+@op(
+    "grouping_sets_metrics",
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem "
+    "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))",
+    "D",
+)
+def grouping_sets_metrics(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM _gs_lineitem "
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"
+    )
