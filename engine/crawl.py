@@ -50,6 +50,40 @@ class EngineConfig:
     salt: int = 8  # politeness-window salt groups (1 = single-phase)
 
 
+def _global_seq_by_url(ext: DataFrame, offset: int, n_par: int) -> DataFrame:
+    """Dense global rank over ``url`` without a single-partition window.
+
+    Phase 1: range-partition by url (partitions are ordered slices of the
+    url domain).  Phase 2: row_number within each partition (parallel).
+    Phase 3: add each partition's cumulative base — a P-row collect on the
+    persisted input, folded in as a literal map.  fetch_seq =
+    offset + base[pid] + local_rank - 1 == offset + global rank by url,
+    independent of where the range sampler places the boundaries.
+    """
+    rp = ext.repartitionByRange(n_par, "url").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = rp.groupBy("_pid").count().collect()
+    base: dict[int, int] = {}
+    acc = offset
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        base[row["_pid"]] = acc
+        acc += row["count"]
+    kv = []
+    for pid, b in sorted(base.items()):
+        kv += [F.lit(pid), F.lit(b)]
+    base_col = (
+        F.create_map(*kv)[F.col("_pid")] if kv else F.lit(offset)
+    )
+    w_local = Window.partitionBy("_pid").orderBy("url")
+    return (
+        rp.withColumn(
+            "fetch_seq", base_col + F.row_number().over(w_local) - 1
+        )
+        .drop("_pid")
+    )
+
+
 def pages_index(pages: DataFrame) -> DataFrame:
     """url_hash + as-of snapshot resolution (SURVEY.md §2 C5): keep, per
     url, the row with the greatest warc_ts.  One shuffle on url_hash; on a
@@ -158,13 +192,16 @@ def run_round(
     )
     ext = ext.persist()
 
-    # 6. lineage with dense fetch_seq over (round, url) — selected-set sized
-    w_seq = Window.orderBy("url")
+    # 6. lineage with dense fetch_seq = global rank by url.  NOT a
+    # single-partition Window.orderBy (that serializes the whole selected
+    # set through one task — an OOM at cluster-scale budgets): range-
+    # partition by url, rank locally per partition, add per-partition base
+    # offsets (one P-row count job on the persisted ext).  The result is
+    # the same global rank for ANY partition boundaries — boundaries only
+    # move where offsets fall, never what rank a url gets.
+    seq = _global_seq_by_url(ext, fetch_seq_offset, n_par)
     lineage = (
-        ext.withColumn(
-            "fetch_seq",
-            F.row_number().over(w_seq) - 1 + F.lit(fetch_seq_offset),
-        )
+        seq
         .select(
             F.lit(rnd).alias("round"),
             "partition_id",

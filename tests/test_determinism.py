@@ -52,8 +52,8 @@ def test_summaries_identical(stores):
 
 def test_fetch_log_identical(stores):
     sql = (
-        "SELECT round, url, status, host FROM '{d}/lineage/*/*.parquet' "
-        "ORDER BY round, url"
+        "SELECT round, url, status, host, fetch_seq "
+        "FROM '{d}/lineage/*/*.parquet' ORDER BY round, url"
     )
     assert _q(stores[2][0], sql) == _q(stores[8][0], sql)
 
