@@ -311,3 +311,101 @@ class CuckooShard:
         obj._mask = np.uint64(n_buckets - 1)
         obj._rng_state = np.uint64(0x243F6A8885A308D3)
         return obj
+
+
+@dataclass
+class CuckooShards:
+    """P cuckoo shards keyed by pmod(url_hash, P) — the deletable
+    counterpart of BloomShards (same prune-never-decide contract: a
+    successfully-inserted key can never read as absent, so 'definitely
+    unseen' is sound; re-crawl eviction uses CuckooShard.delete)."""
+
+    n_shards: int
+    shards: dict[int, "CuckooShard"]
+
+    def maybe_seen(self, url_hashes: np.ndarray) -> np.ndarray:
+        buckets = (url_hashes % self.n_shards + self.n_shards) % self.n_shards
+        out = np.zeros(len(url_hashes), dtype=bool)
+        for b in np.unique(buckets):
+            shard = self.shards.get(int(b))
+            if shard is None:
+                continue
+            mask = buckets == b
+            out[mask] = shard.contains_batch(url_hashes[mask])
+        return out
+
+
+def _cuckoo_build(keys: np.ndarray) -> CuckooShard:
+    """Build one shard; on insert refusal (over-load), rebuild 2x bigger —
+    the fallback path SURVEY.md §7.3 risk 4 demands."""
+    n = max(len(keys), 1)
+    while True:
+        shard = CuckooShard(n)
+        if all(shard.insert(int(k)) for k in keys.astype(np.uint64)):
+            return shard
+        n *= 2
+
+
+def build_cuckoo_shards(seen_df, n_shards: int = 32) -> CuckooShards:
+    """One cuckoo shard per bucket via a grouped Arrow UDF; only the
+    finished shard bytes (uint16 tables) leave the executors."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = pdf["url_hash"].to_numpy(dtype=np.int64)
+        shard = _cuckoo_build(keys)
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "table": [shard.to_bytes()],
+                "n_buckets": [shard.n_buckets],
+            }
+        )
+
+    rows = (
+        seen_df.select(
+            "url_hash", F.pmod("url_hash", F.lit(n_shards)).alias("bucket")
+        )
+        .groupBy("bucket")
+        .applyInPandas(_build, "bucket int, table binary, n_buckets long")
+        .collect()
+    )
+    return CuckooShards(
+        n_shards=n_shards,
+        shards={
+            r["bucket"]: CuckooShard.from_bytes(
+                bytes(r["table"]), int(r["n_buckets"])
+            )
+            for r in rows
+        },
+    )
+
+
+def cuckoo_seen_filter_factory(n_shards: int = 32):
+    """seen_filter_factory for engine.crawl.run_crawl — cuckoo variant of
+    bloom_seen_filter_factory (deletable shards for re-crawl eviction)."""
+
+    def factory(spark, store, sid):
+        seen = store.read(spark, "seen", sid).select("url_hash")
+        shards = build_cuckoo_shards(seen, n_shards)
+        return lambda df: cuckoo_tag(df, shards)
+
+    return factory
+
+
+def cuckoo_tag(df, shards: CuckooShards, col: str = "url_hash"):
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    out_schema = StructType(
+        df.schema.fields + [StructField("_maybe_seen", BooleanType(), False)]
+    )
+
+    def probe(batches):
+        for pdf in batches:
+            h = pdf[col].to_numpy(dtype=np.int64)
+            pdf = pdf.copy()
+            pdf["_maybe_seen"] = shards.maybe_seen(h)
+            yield pdf
+
+    return df.mapInPandas(probe, out_schema)

@@ -130,8 +130,14 @@ def test_bloom_pruned_crawl_equals_exact(spark, tmp_path_factory):
     tables = load_corpus(spark, str(d))
     cfg = EngineConfig(default_budget=2, max_rounds=100, salt=2)
 
+    from engine.filters import cuckoo_seen_filter_factory
+
     results = []
-    for factory in (None, bloom_seen_filter_factory(n_shards=8)):
+    for factory in (
+        None,
+        bloom_seen_filter_factory(n_shards=8),
+        cuckoo_seen_filter_factory(n_shards=8),
+    ):
         store = SnapStore(str(tmp_path_factory.mktemp("bloomstore")))
         run_crawl(
             spark,
@@ -148,4 +154,5 @@ def test_bloom_pruned_crawl_equals_exact(spark, tmp_path_factory):
             for r in store.read(spark, "seen").collect()
         )
         results.append((log, seen))
-    assert results[0] == results[1]
+    assert results[0] == results[1]  # bloom-pruned ≡ exact
+    assert results[0] == results[2]  # cuckoo-pruned ≡ exact
