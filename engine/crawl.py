@@ -268,8 +268,30 @@ def run_round(
         F.lit(rnd).alias("round"), "url_hash", "url", "text"
     )
 
-    n_selected = ext.count()  # ext is persisted; cheap
-    metrics = {"round": rnd, "n_selected": n_selected}
+    # round metrics into the snapshot manifest (B:14 "lineage + metrics");
+    # one agg job over the persisted ext — cheap, and it's what an operator
+    # reads to monitor a live crawl without scanning lineage
+    mrow = ext.agg(
+        F.count("*").alias("n_selected"),
+        F.sum(F.when(F.col("status") == "200", 1).otherwise(0)).alias("n_200"),
+        F.sum(F.when(F.col("links").isNull(), 0).otherwise(F.size("links"))).alias(
+            "n_links"
+        ),
+        F.sum(
+            F.when(F.col("text").isNull(), 0).otherwise(F.octet_length("text"))
+        ).alias("text_bytes"),
+        F.countDistinct("host").alias("n_hosts"),
+    ).collect()[0]
+    n_selected = int(mrow["n_selected"])
+    metrics = {
+        "round": rnd,
+        "n_selected": n_selected,
+        "n_200": int(mrow["n_200"] or 0),
+        "n_404": n_selected - int(mrow["n_200"] or 0),
+        "n_links": int(mrow["n_links"] or 0),
+        "text_bytes": int(mrow["text_bytes"] or 0),
+        "n_hosts": int(mrow["n_hosts"] or 0),
+    }
     store.commit_state(
         rnd + 1,
         {

@@ -103,23 +103,41 @@ def _tree_cpu_seconds() -> float:
     """Total CPU seconds (utime+stime) consumed so far by this process and
     every descendant (the local-mode JVM + all pyspark worker daemons) —
     read from /proc, no extra deps.  Used to compute achieved parallelism
-    per round: cpu_delta / (wall * cores)."""
+    per round: cpu_delta / (wall * cores).
+
+    Under spark-submit the driver JVM is this script's ANCESTOR, not a
+    descendant — climb to the topmost java/spark ancestor first so the
+    JVM and its python daemons are inside the measured tree."""
     import glob as _glob
 
     me = os.getpid()
     tick = os.sysconf("SC_CLK_TCK")
     procs = {}
+    names = {}
     for stat in _glob.glob("/proc/[0-9]*/stat"):
         try:
             with open(stat) as fh:
-                parts = fh.read().rsplit(")", 1)
-                pid = int(parts[0].split("(")[0])
-                f = parts[1].split()
+                raw = fh.read()
+                head, tail = raw.rsplit(")", 1)
+                pid = int(head.split("(")[0])
+                name = head.split("(", 1)[1]
+                f = tail.split()
                 ppid = int(f[1])
                 cpu = (int(f[11]) + int(f[12])) / tick
             procs[pid] = (ppid, cpu)
+            names[pid] = name
         except (OSError, ValueError, IndexError):
             continue
+    # climb: while a parent looks like part of the spark launch chain
+    while me in procs:
+        parent = procs[me][0]
+        pname = names.get(parent, "")
+        if parent in procs and (
+            "java" in pname or "spark" in pname or pname in ("bash", "sh")
+        ):
+            me = parent
+        else:
+            break
     # walk descendants of me
     kids: dict[int, list[int]] = {}
     for pid, (ppid, _) in procs.items():
@@ -280,13 +298,37 @@ def run_worker(args) -> dict:
 def orchestrate(args) -> int:
     ensure_corpus(args.corpus, args.hosts, args.mean_pages, args.body_words)
     levels = [int(x) for x in args.levels.split(",")]
+    # the north rule's deployment surface, literally: each level is a
+    # spark-submit --py-files run (BASELINE.json:14), falling back to plain
+    # python if spark-submit is not on PATH
+    zip_path = "/tmp/spark_graft_bench/engine.zip"
+    use_submit = shutil.which("spark-submit") is not None
+    if use_submit:
+        os.makedirs(os.path.dirname(zip_path), exist_ok=True)
+        if os.path.exists(zip_path):
+            os.remove(zip_path)
+        subprocess.run(
+            ["zip", "-qr", zip_path, "engine/", "fixtures/"],
+            cwd=REPO,
+            check=True,
+        )
     results = {}
     for cpus in levels:
-        cmd = [
-            sys.executable, os.path.abspath(__file__), "--worker",
+        worker_args = [
+            os.path.abspath(__file__), "--worker",
             "--cpus", str(cpus), "--corpus", args.corpus,
             "--rounds", str(args.rounds), "--budget", str(args.budget),
         ]
+        if use_submit:
+            # --driver-memory MUST be on the submit line: by the time the
+            # builder runs, the driver JVM already exists (1g default → OOM)
+            cmd = [
+                "spark-submit", "--master", f"local[{cpus}]",
+                "--driver-memory", "56g",
+                "--py-files", zip_path, *worker_args,
+            ]
+        else:
+            cmd = [sys.executable, *worker_args]
         print(f"=== level local[{cpus}] ===", file=sys.stderr, flush=True)
         out = subprocess.run(
             cmd, capture_output=True, text=True, cwd=REPO, timeout=3600
