@@ -28,7 +28,13 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import (
+    DataFrame,
+    Observation,
+    SparkSession,
+    Window,
+    functions as F,
+)
 
 from engine.frontier import (
     SEEN_SCHEMA,
@@ -39,7 +45,7 @@ from engine.frontier import (
 from engine.politeness import select_top_b
 from engine.robots import robots_gate
 from engine.snapstore import SnapStore
-from engine.udfs import extract_links_udf, extract_text_udf, hash64_udf
+from engine.udfs import extract_both_udf, hash64_udf
 
 
 @dataclass(frozen=True)
@@ -50,18 +56,32 @@ class EngineConfig:
     salt: int = 8  # politeness-window salt groups (1 = single-phase)
 
 
-def _global_seq_by_url(ext: DataFrame, offset: int, n_par: int) -> DataFrame:
+def _global_seq_by_url(
+    slim: DataFrame, offset: int, n_par: int
+) -> tuple[DataFrame, DataFrame]:
     """Dense global rank over ``url`` without a single-partition window.
 
     Phase 1: range-partition by url (partitions are ordered slices of the
     url domain).  Phase 2: row_number within each partition (parallel).
     Phase 3: add each partition's cumulative base — a P-row collect on the
-    persisted input, folded in as a literal map.  fetch_seq =
-    offset + base[pid] + local_rank - 1 == offset + global rank by url,
-    independent of where the range sampler places the boundaries.
+    persisted range-partitioned frame, folded in as a literal map.
+    fetch_seq = offset + base[pid] + local_rank - 1 == offset + global rank
+    by url, independent of where the range sampler places the boundaries.
+
+    ``slim`` should be a narrow (url, url_hash) projection: only those two
+    columns cross the range exchange; the caller joins fetch_seq back on
+    url_hash (1:1 — frontier rows are unique per url_hash), so wide columns
+    (text, links) never move for the rank.  The range-partitioned frame is
+    PERSISTED before the counts collect so the counts job and the caller's
+    later write observe the SAME boundaries and pid assignment — without
+    the pin, a cache eviction between the two jobs could re-sample
+    different range boundaries and mis-base the ranks.  Returns
+    (seq=(url_hash, fetch_seq), rp_handle_to_unpersist).
     """
-    rp = ext.repartitionByRange(n_par, "url").withColumn(
-        "_pid", F.spark_partition_id()
+    rp = (
+        slim.repartitionByRange(n_par, "url")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     counts = rp.groupBy("_pid").count().collect()
     base: dict[int, int] = {}
@@ -76,12 +96,13 @@ def _global_seq_by_url(ext: DataFrame, offset: int, n_par: int) -> DataFrame:
         F.create_map(*kv)[F.col("_pid")] if kv else F.lit(offset)
     )
     w_local = Window.partitionBy("_pid").orderBy("url")
-    return (
-        rp.withColumn(
-            "fetch_seq", base_col + F.row_number().over(w_local) - 1
-        )
-        .drop("_pid")
+    seq = rp.select(
+        "url_hash",
+        (base_col + F.row_number().over(w_local) - 1)
+        .cast("long")
+        .alias("fetch_seq"),
     )
+    return seq, rp
 
 
 def pages_index(pages: DataFrame) -> DataFrame:
@@ -114,10 +135,23 @@ def pages_index(pages: DataFrame) -> DataFrame:
 def bootstrap(
     spark: SparkSession, store: SnapStore, seeds: DataFrame
 ) -> None:
-    """Commit snapshot 0: seeded frontier + empty seen."""
+    """Commit snapshot 0: seeded frontier + empty seen.  The frontier row
+    count rides the write as an observed metric so the crawl loop never
+    needs a separate count job to decide whether to run a round."""
     frontier0 = frontier_from_seeds(seeds)
+    fobs = Observation()
+    frontier0 = frontier0.observe(
+        fobs, F.count(F.lit(1)).alias("frontier_rows")
+    )
     seen0 = spark.createDataFrame([], SEEN_SCHEMA)
-    store.commit_state(0, {"frontier": frontier0, "seen": seen0}, {"round": -1})
+    store.commit_state(
+        0,
+        {"frontier": frontier0, "seen": seen0},
+        {"round": -1, "fetch_seq_end": 0},
+        metrics_fn=lambda: {
+            "frontier_rows": int(fobs.get["frontier_rows"] or 0)
+        },
+    )
 
 
 def run_round(
@@ -135,6 +169,14 @@ def run_round(
     Returns the metrics dict that was committed with the snapshot.
     ``seen_filter`` optionally wraps the anti-join probe side with a bloom
     pre-filter (engine/filters.bloom_prune) — correctness-neutral.
+
+    Spark-job budget per round (the scaling-efficiency lever — idle-core
+    gaps between jobs are what erode efficiency as cores grow): ONE
+    materialization job (the fetch_seq partition-counts collect, which
+    fills the ext/tagged caches), then the four table writes submitted in
+    PARALLEL with all round metrics observed on the writes themselves —
+    no separate aggregation, no per-round lineage count, no frontier
+    empty-check job (both ride the manifest).
     """
     frontier = store.read(spark, "frontier", rnd)
     seen = store.read(spark, "seen", rnd)
@@ -154,8 +196,10 @@ def run_round(
     else:
         cand = frontier.join(seen_keys, "url_hash", "left_anti")
 
-    # 2. robots gate (op B4): blocked rows exit to seen, no lineage
-    tagged = robots_gate(cand, robots)
+    # 2. robots gate (op B4): blocked rows exit to seen, no lineage.
+    # PERSISTED: the politeness path (allowed) and the seen delta (blocked)
+    # both read it, so the anti-join + gate run once per round, not twice.
+    tagged = robots_gate(cand, robots).persist()
     blocked = tagged.filter(F.col("robots_blocked")).drop("robots_blocked")
     allowed = tagged.filter(~F.col("robots_blocked")).drop("robots_blocked")
 
@@ -177,10 +221,11 @@ def run_round(
         pages_idx.select("url_hash", "html"), "url_hash", "left"
     )
 
-    # 5. Arrow-UDF extraction (ops F3/F4); html dropped immediately after
+    # 5. Arrow-UDF extraction (ops F3/F4 fused — engine/pure.py
+    # extract_text_and_links): html crosses to Python once and is PARSED
+    # once per page, then dropped immediately
     ext = (
-        fetched.withColumn("text", extract_text_udf("html"))
-        .withColumn("links", extract_links_udf("html", "url"))
+        fetched.withColumn("_eb", extract_both_udf("html", "url"))
         .withColumn(
             "status",
             F.when(F.col("html").isNotNull(), F.lit("200")).otherwise(
@@ -188,20 +233,26 @@ def run_round(
             ),
         )
         .withColumn("partition_id", F.spark_partition_id())
-        .drop("html")
+        .withColumn("text", F.col("_eb.text"))
+        .withColumn("links", F.col("_eb.links"))
+        .drop("html", "_eb")
     )
     ext = ext.persist()
 
     # 6. lineage with dense fetch_seq = global rank by url.  NOT a
     # single-partition Window.orderBy (that serializes the whole selected
     # set through one task — an OOM at cluster-scale budgets): range-
-    # partition by url, rank locally per partition, add per-partition base
-    # offsets (one P-row count job on the persisted ext).  The result is
-    # the same global rank for ANY partition boundaries — boundaries only
-    # move where offsets fall, never what rank a url gets.
-    seq = _global_seq_by_url(ext, fetch_seq_offset, n_par)
+    # partition a SLIM (url, url_hash) projection, rank locally per
+    # partition, add per-partition base offsets (one P-row count job on the
+    # persisted slim frame — this is the round's single materialization
+    # job, which also fills the ext/tagged caches), then join fetch_seq
+    # back 1:1 on the url_hash partitioning ext already carries — the wide
+    # text/links columns never cross the range exchange.
+    seq, rp_slim = _global_seq_by_url(
+        ext.select("url", "url_hash"), fetch_seq_offset, n_par
+    )
     lineage = (
-        seq
+        ext.join(seq.repartition(n_par, "url_hash"), "url_hash")
         .select(
             F.lit(rnd).alias("round"),
             "partition_id",
@@ -215,19 +266,31 @@ def run_round(
             F.when(F.col("text").isNull(), 0)
             .otherwise(F.octet_length("text"))
             .alias("text_bytes"),
-            F.col("fetch_seq").cast("long").alias("fetch_seq"),
+            "fetch_seq",
         )
     )
+    # round metrics observe the lineage WRITE — no separate agg job.
+    # (n_hosts is approx_count_distinct: observed metrics cannot contain
+    # distinct aggregates; it is a monitoring figure, never compared.)
+    obs = Observation()
+    lineage = lineage.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum(F.when(F.col("status") == "200", 1).otherwise(0)).alias(
+            "n_200"
+        ),
+        F.sum("n_links").alias("n_links"),
+        F.sum("text_bytes").alias("text_bytes"),
+        F.approx_count_distinct("host").alias("n_hosts"),
+    )
 
-    # 7. advance state.  `removed` is selected ∪ robots-blocked — it feeds
-    # three downstream writes (seen delta, kids anti-join, survivor
-    # anti-join), so persist it once instead of recomputing the
-    # anti-join + robots chain per write.  The seen table is APPEND-only:
-    # this round commits just `seen_delta` (O(round), not O(history)).
+    # 7. advance state.  `removed` is selected ∪ robots-blocked — cheap
+    # projections over the ext/tagged caches.  The seen table is
+    # APPEND-only: this round commits just `seen_delta` (O(round), not
+    # O(crawl history)).
     removed = ext.select("url_hash", "url").unionByName(
         blocked.select("url_hash", "url")
     )
-    removed = removed.persist()
     seen_delta = removed.withColumn("fetched_round", F.lit(rnd)).select(
         "url_hash", "url", "fetched_round"
     )
@@ -261,6 +324,11 @@ def run_round(
         removed.select("url_hash"), "url_hash", "left_anti"
     )
     frontier_next = merge_frontier(survivors.unionByName(kids))
+    # the next round's empty-check rides this write as an observed metric
+    fobs = Observation()
+    frontier_next = frontier_next.observe(
+        fobs, F.count(F.lit(1)).alias("frontier_rows")
+    )
 
     # pages_out: the extracted-text artifact (byte-identity invariant,
     # BASELINE.json:15 — compared verbatim against refspec texts)
@@ -268,31 +336,27 @@ def run_round(
         F.lit(rnd).alias("round"), "url_hash", "url", "text"
     )
 
-    # round metrics into the snapshot manifest (B:14 "lineage + metrics");
-    # one agg job over the persisted ext — cheap, and it's what an operator
-    # reads to monitor a live crawl without scanning lineage
-    mrow = ext.agg(
-        F.count("*").alias("n_selected"),
-        F.sum(F.when(F.col("status") == "200", 1).otherwise(0)).alias("n_200"),
-        F.sum(F.when(F.col("links").isNull(), 0).otherwise(F.size("links"))).alias(
-            "n_links"
-        ),
-        F.sum(
-            F.when(F.col("text").isNull(), 0).otherwise(F.octet_length("text"))
-        ).alias("text_bytes"),
-        F.countDistinct("host").alias("n_hosts"),
-    ).collect()[0]
-    n_selected = int(mrow["n_selected"])
-    metrics = {
-        "round": rnd,
-        "n_selected": n_selected,
-        "n_200": int(mrow["n_200"] or 0),
-        "n_404": n_selected - int(mrow["n_200"] or 0),
-        "n_links": int(mrow["n_links"] or 0),
-        "text_bytes": int(mrow["text_bytes"] or 0),
-        "n_hosts": int(mrow["n_hosts"] or 0),
-    }
-    store.commit_state(
+    # round metrics into the snapshot manifest (B:14 "lineage + metrics") —
+    # harvested from the write-side observations after the parallel table
+    # writes land, before the manifest rename.  fetch_seq_end carries the
+    # cumulative lineage row count forward so the next round's offset is a
+    # manifest read, never an O(crawl-history) lineage scan.
+    def _metrics() -> dict:
+        m = obs.get
+        n_selected = int(m["n_selected"] or 0)
+        return {
+            "round": rnd,
+            "n_selected": n_selected,
+            "n_200": int(m["n_200"] or 0),
+            "n_404": n_selected - int(m["n_200"] or 0),
+            "n_links": int(m["n_links"] or 0),
+            "text_bytes": int(m["text_bytes"] or 0),
+            "n_hosts": int(m["n_hosts"] or 0),
+            "frontier_rows": int(fobs.get["frontier_rows"] or 0),
+            "fetch_seq_end": fetch_seq_offset + n_selected,
+        }
+
+    metrics = store.commit_state(
         rnd + 1,
         {
             "frontier": frontier_next,
@@ -300,15 +364,26 @@ def run_round(
             "lineage": lineage,
             "pages_out": pages_out,
         },
-        metrics,
+        metrics_fn=_metrics,
+        parallel=True,
     )
     ext.unpersist()
-    removed.unpersist()
+    tagged.unpersist()
+    rp_slim.unpersist()
     return metrics
 
 
 def _fetch_seq_offset(spark: SparkSession, store: SnapStore, sid: int) -> int:
-    """Rows already in lineage at snapshot sid (0 if none)."""
+    """Rows already in lineage at snapshot sid (0 if none).
+
+    The cumulative count is carried in each snapshot's manifest metrics
+    (``fetch_seq_end``), so per-round this is a JSON field read — O(1),
+    not an O(crawl-history) lineage scan.  Stores written before the
+    metric existed fall back to the authoritative count.
+    """
+    m = store.manifest(sid).get("metrics") or {}
+    if "fetch_seq_end" in m:
+        return int(m["fetch_seq_end"])
     try:
         return store.read(spark, "lineage", sid).count()
     except FileNotFoundError:
@@ -336,6 +411,10 @@ def run_crawl(
         if seeds is None:
             raise ValueError("empty store and no seeds")
         bootstrap(spark, store, seeds)
+    else:
+        # resume: a kill between data write and manifest write left
+        # invisible orphan data dirs — reclaim them before re-running
+        store.gc_orphans()
 
     # the pages index (url_hash + as-of dedup) is round-invariant: compute
     # once, keep it cached across rounds (cluster analog: stored bucketed)
@@ -346,8 +425,15 @@ def run_crawl(
         rnd = sid  # next round number == current snapshot id
         if rnd >= cfg.max_rounds:
             break
-        frontier = store.read(spark, "frontier", sid)
-        if frontier.limit(1).count() == 0:
+        # empty-check from the previous round's observed metric; count()
+        # fallback only for stores written before the metric existed
+        m_prev = store.manifest(sid).get("metrics") or {}
+        frontier_rows = m_prev.get("frontier_rows")
+        if frontier_rows is None:
+            frontier_rows = (
+                store.read(spark, "frontier", sid).limit(1).count()
+            )
+        if frontier_rows == 0:
             break
         seen_filter = (
             seen_filter_factory(spark, store, sid) if seen_filter_factory else None

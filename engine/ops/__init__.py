@@ -46,14 +46,33 @@ def op(name: str, oracle: str | None, group: str):
     return deco
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+# The driver's per-round CORRECTNESS check walks queries() in iteration
+# order and has a bounded row budget (round 1 recorded exactly the first
+# 50 entries).  Order the registry so the budget lands on the ops with
+# value-hash oracles first: every oracled op ahead of every rows-only op.
+# The four elementary function-suite sanity ops go LAST within the oracled
+# block — if the budget cuts inside it, what falls off is the four entries
+# whose SQL twins are trivial to mirror, not a dedup/streaming/window op.
+_DEFER_WITHIN_ORACLED = ("str_suite", "date_suite", "math_suite", "array_suite")
+
+
+def _ordered() -> list[tuple[str, OpSpec]]:
     _load_all()
-    return {n: s.fn for n, s in REGISTRY.items()}
+    return sorted(
+        REGISTRY.items(),
+        key=lambda kv: (
+            kv[1].oracle is None,
+            kv[0] in _DEFER_WITHIN_ORACLED,
+        ),
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {n: s.fn for n, s in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
-    _load_all()
-    return {n: s.oracle for n, s in REGISTRY.items() if s.oracle is not None}
+    return {n: s.oracle for n, s in _ordered() if s.oracle is not None}
 
 
 _loaded = False

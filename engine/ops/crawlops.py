@@ -85,11 +85,20 @@ def scan_seeds(spark, sf):
 
 @op("scan_robots", None, "A")
 def scan_robots(spark, sf):
+    # output projected to scalar columns: the driver's rows-only hasher
+    # sorts values with pandas, which cannot factorize list cells — the
+    # disallow rules ride as a sorted '|'-joined string (same information,
+    # deterministic order)
     from fixtures.gen import gen_corpus
 
     c = gen_corpus("XS")
-    return spark.createDataFrame(
+    raw = spark.createDataFrame(
         sorted(c.robots.items()), "host string, disallow array<string>"
+    )
+    return raw.select(
+        "host",
+        F.array_join(F.sort_array("disallow"), "|").alias("disallow_rules"),
+        F.size("disallow").alias("n_rules"),
     )
 
 

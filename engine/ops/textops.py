@@ -301,8 +301,11 @@ def _fingerprint_udf(texts: pd.Series) -> pd.Series:
 @op("doc_fingerprint", None, "K")
 def doc_fingerprint_op(spark, sf):
     # winnowing-style rolling-hash fingerprint (engine/textanalysis.py);
-    # ints < 2^61 so LongType-safe; rows-only (not ANSI-expressible)
+    # ints < 2^61 so LongType-safe; rows-only (not ANSI-expressible).
+    # posexploded to scalar rows — the driver's hasher cannot digest
+    # array cells, and (doc_id, pos, fp) is the joinable shape anyway
     docs = load_table(spark, sf, "documents")
     return docs.select(
-        "doc_id", _fingerprint_udf("text").alias("fingerprint")
+        "doc_id",
+        F.posexplode(_fingerprint_udf("text")).alias("pos", "fp"),
     )

@@ -33,6 +33,7 @@ __all__ = [
     "stable_hash",
     "html_to_text",
     "extract_links",
+    "extract_text_and_links",
 ]
 
 # --------------------------------------------------------------------------
@@ -263,6 +264,87 @@ def html_to_text(html: bytes | str | None) -> str | None:
 # --------------------------------------------------------------------------
 
 
+def _canon_links(hrefs: list[str], base_url: str | None) -> list[str]:
+    """Resolve + canonicalize + dedupe + sort href targets (shared by the
+    single-pass and two-pass extractors — one implementation, one dialect)."""
+    out: set[str] = set()
+    for href in hrefs:
+        try:
+            absolute = urljoin(base_url or "", href)
+        except ValueError:
+            continue
+        c = canon(absolute)
+        if c is not None:
+            out.add(c)
+    return sorted(out)
+
+
+class _CombinedExtractor(HTMLParser):
+    """Single-pass union of _TextExtractor and _LinkExtractor.
+
+    The two extractors react to disjoint aspects of the same event stream
+    (text: skip/block/data; links: <a href>), so one ``feed`` produces both
+    results byte-identically to two separate passes — asserted for every
+    fixture page in tests/test_properties.py.  This halves the parse cost
+    of the crawl hot path (parsing dominates extraction CPU)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._blocks: list[str] = []
+        self._buf: list[str] = []
+        self._skip = 0
+        self.hrefs: list[str] = []
+
+    def _flush(self) -> None:
+        raw = "".join(self._buf)
+        self._buf = []
+        collapsed = " ".join(raw.split())
+        if collapsed:
+            self._blocks.append(collapsed)
+
+    def handle_starttag(self, tag, attrs):  # noqa: D102
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.hrefs.append(v)
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag):  # noqa: D102
+        if tag in _SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data):  # noqa: D102
+        if not self._skip:
+            self._buf.append(data)
+
+    def text(self) -> str:
+        self._flush()
+        return "\n".join(self._blocks)
+
+
+def extract_text_and_links(
+    html: bytes | str | None, base_url: str | None
+) -> tuple[str | None, list[str] | None]:
+    """(html_to_text(html), extract_links(html, base_url)) in ONE parse.
+
+    Equivalent by construction to calling F3 and F4 separately (same event
+    handling, same _canon_links); the crawl round uses this so each page is
+    parsed once, not twice."""
+    if html is None:
+        return None, None
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", "replace")
+    p = _CombinedExtractor()
+    p.feed(html)
+    p.close()
+    return p.text(), _canon_links(p.hrefs, base_url)
+
+
 class _LinkExtractor(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -285,13 +367,4 @@ def extract_links(html: bytes | str | None, base_url: str | None) -> list[str] |
     p = _LinkExtractor()
     p.feed(html)
     p.close()
-    out: set[str] = set()
-    for href in p.hrefs:
-        try:
-            absolute = urljoin(base_url or "", href)
-        except ValueError:
-            continue
-        c = canon(absolute)
-        if c is not None:
-            out.add(c)
-    return sorted(out)
+    return _canon_links(p.hrefs, base_url)

@@ -73,18 +73,45 @@ class SnapStore:
         sid: int,
         tables: dict[str, DataFrame],
         metrics: dict | None = None,
-    ) -> None:
+        metrics_fn=None,
+        parallel: bool = False,
+    ) -> dict:
         """Write every table's data dir, THEN the manifest (fsync+rename).
 
         Crash at any point before the final rename leaves snapshot sid
         invisible; re-running the round overwrites the orphan dirs.
+
+        ``parallel=True`` submits the table writes from a thread pool —
+        independent Spark jobs over already-persisted inputs, so the
+        scheduler interleaves their stages and idle-core gaps between
+        sequential writes disappear (the single-box analog of concurrent
+        Iceberg appends in one transaction).  ``metrics_fn`` is invoked
+        after all data writes and before the manifest write — the hook the
+        crawl uses to harvest ``df.observe()`` metrics that were computed
+        DURING the writes instead of by separate aggregation jobs.
+        Returns the metrics dict that went into the manifest.
         """
         entries = {}
-        for name, df in tables.items():
+
+        def _write(name: str, df: DataFrame) -> tuple[str, str]:
             rel = os.path.join(name, f"s={sid:06d}")
-            path = os.path.join(self.data_dir, rel)
-            df.write.mode("overwrite").parquet(path)
-            entries[name] = rel
+            df.write.mode("overwrite").parquet(os.path.join(self.data_dir, rel))
+            return name, rel
+
+        if parallel and len(tables) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(tables)) as pool:
+                futs = [pool.submit(_write, n, df) for n, df in tables.items()]
+                for f in futs:
+                    name, rel = f.result()
+                    entries[name] = rel
+        else:
+            for name, df in tables.items():
+                name, rel = _write(name, df)
+                entries[name] = rel
+        if metrics_fn is not None:
+            metrics = {**(metrics or {}), **metrics_fn()}
         doc = {"snapshot": sid, "tables": entries, "metrics": metrics or {}}
         tmp = self._manifest_path(sid) + ".tmp"
         with open(tmp, "w") as fh:
@@ -92,6 +119,7 @@ class SnapStore:
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, self._manifest_path(sid))
+        return doc["metrics"]
 
     # ---- read / time travel ---------------------------------------------
     def read(

@@ -21,7 +21,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from engine.pure import canon, extract_links, hash64, html_to_text
+from engine.pure import (
+    canon,
+    extract_links,
+    extract_text_and_links,
+    hash64,
+    html_to_text,
+)
 
 # struct returned by canon_hash: canonical url (or null) + its hash64
 CANON_HASH_TYPE = StructType(
@@ -63,6 +69,28 @@ def extract_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
         for b, u in zip(html, base_url)
     ]
     return pd.Series(out, dtype=object)
+
+
+# struct returned by extract_both: text + canonical outlinks in ONE parse —
+# html crosses the Arrow boundary once and is parsed once (engine/pure.py
+# extract_text_and_links), instead of once per F3/F4 UDF
+EXTRACT_BOTH_TYPE = StructType(
+    [
+        StructField("text", StringType(), True),
+        StructField("links", ArrayType(StringType()), True),
+    ]
+)
+
+
+@F.pandas_udf(EXTRACT_BOTH_TYPE)
+def extract_both_udf(html: pd.Series, base_url: pd.Series) -> pd.DataFrame:
+    texts: list[str | None] = []
+    links: list[list[str] | None] = []
+    for b, u in zip(html, base_url):
+        t, ls = extract_text_and_links(b, u) if b is not None else (None, None)
+        texts.append(t)
+        links.append(ls)
+    return pd.DataFrame({"text": texts, "links": pd.Series(links, dtype=object)})
 
 
 def register_sql_udfs(spark) -> None:

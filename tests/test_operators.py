@@ -26,6 +26,26 @@ def test_registry_keys_unique_and_callable(spark):
     assert all(callable(f) for f in q.values())
 
 
+def test_approx_frontier_card_error_bound(spark):
+    # HLL telemetry op (SURVEY.md §2 D3): approx_count_distinct's default
+    # rsd is 0.05 — bound the observed error at 3 sigma vs the exact count
+    from engine.io import load_table
+    from engine.ops import REGISTRY, _load_all
+
+    _load_all()
+    approx = REGISTRY["approx_frontier_card"].fn(spark, SF).collect()[0][
+        "approx_orders"
+    ]
+    exact = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    assert exact > 0
+    assert abs(approx - exact) / exact <= 3 * 0.05
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

@@ -90,6 +90,33 @@ def test_extract_links_canonical_sorted_deduped(b):
         assert canon(u) == u
 
 
+@given(st.binary(max_size=400))
+@settings(max_examples=150, deadline=None)
+def test_combined_extractor_equals_two_pass(b):
+    # the crawl hot path parses once (extract_text_and_links); its output
+    # must be byte-identical to the pinned F3/F4 two-pass dialect
+    from engine.pure import extract_text_and_links
+
+    base = "http://base.example.test/a/b"
+    t, ls = extract_text_and_links(b, base)
+    assert t == html_to_text(b)
+    assert ls == extract_links(b, base)
+
+
+def test_combined_extractor_equals_two_pass_on_corpus():
+    # every real fixture page, not just fuzz: the corpus html exercises
+    # nested blocks, script/style skips, versioned re-renders
+    from engine.pure import extract_text_and_links
+    from fixtures.gen import gen_corpus
+
+    c = gen_corpus("XS")
+    assert len(c.pages) > 0
+    for p in c.pages:
+        t, ls = extract_text_and_links(p["html"], p["url"])
+        assert t == html_to_text(p["html"])
+        assert ls == extract_links(p["html"], p["url"])
+
+
 # --- Spark-side determinism properties (small, fixed cases) --------------
 
 

@@ -23,7 +23,7 @@ class KillBeforeManifest(SnapStore):
         super().__init__(root)
         self.kill_at = kill_at
 
-    def commit_state(self, sid, tables, metrics=None):
+    def commit_state(self, sid, tables, metrics=None, **kwargs):
         if sid == self.kill_at:
             for name, df in tables.items():
                 rel = os.path.join(name, f"s={sid:06d}")
@@ -31,7 +31,7 @@ class KillBeforeManifest(SnapStore):
                     os.path.join(self.data_dir, rel)
                 )
             raise RuntimeError("simulated kill before manifest")
-        super().commit_state(sid, tables, metrics)
+        return super().commit_state(sid, tables, metrics, **kwargs)
 
 
 @pytest.fixture(scope="module")
@@ -86,10 +86,26 @@ def test_kill_resume_equals_uninterrupted(spark, xs, tmp_path_factory):
     assert os.path.isdir(orphan)
 
     # resume re-runs round 2 (overwriting orphans) and finishes the crawl
+    # plant an extra orphan that no re-run would overwrite: resume must
+    # gc it (run_crawl calls gc_orphans on re-entry)
+    stray = os.path.join(b.data_dir, "lineage", "s=000099")
+    os.makedirs(stray, exist_ok=True)
+
     rounds = run_crawl(
         spark, b, tables["pages"], tables["robots"], tables["seeds"], cfg
     )
     assert rounds > 0
+    assert not os.path.isdir(stray)
+    # every remaining data dir is referenced by a committed manifest
+    live = set()
+    for s in b.snapshot_ids():
+        live.update(b.manifest(s)["tables"].values())
+    on_disk = {
+        os.path.join(t, s)
+        for t in os.listdir(b.data_dir)
+        for s in os.listdir(os.path.join(b.data_dir, t))
+    }
+    assert on_disk <= live
     assert _final_state(spark, b) == _final_state(spark, a)
 
 
