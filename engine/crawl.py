@@ -356,6 +356,14 @@ def run_round(
             "fetch_seq_end": fetch_seq_offset + n_selected,
         }
 
+    # store-backed seen filters (engine/filters.StoreBloomFilter /
+    # StoreCuckooFilter) commit their per-round shard update with the
+    # snapshot — executor-side, no shard bytes through the driver
+    extra_tables = (
+        seen_filter.delta_tables(seen_delta)
+        if seen_filter is not None and hasattr(seen_filter, "delta_tables")
+        else {}
+    )
     metrics = store.commit_state(
         rnd + 1,
         {
@@ -363,6 +371,7 @@ def run_round(
             "seen": seen_delta,
             "lineage": lineage,
             "pages_out": pages_out,
+            **extra_tables,
         },
         metrics_fn=_metrics,
         parallel=True,

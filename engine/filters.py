@@ -146,14 +146,98 @@ def build_bloom_shards(
     )
 
 
+def bloom_tag_store(df, shards_df, n_shards: int, col: str = "url_hash"):
+    """Executor-side bloom probe: cogroup the probe rows with the shard
+    LAYERS on bucket = pmod(url_hash, P).  A row is `_maybe_seen` iff ANY
+    layer of its bucket reports maybe-present (layers are per-round delta
+    blooms — union of layers ≡ bloom over the whole seen set, and bloom's
+    no-false-negatives property survives the union trivially).
+
+    No shard byte ever touches the driver: layers flow shuffle→task, each
+    task sees only its own bucket's layers.  The one exchange (probe side
+    on pmod(url_hash, P)) is url_hash-aligned — with frontier and shards
+    stored bucketed by url_hash it is a storage-partitioned no-op."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    out_schema = StructType(
+        df.schema.fields + [StructField("_maybe_seen", BooleanType(), False)]
+    )
+    cols = df.columns
+    fr = df.withColumn(
+        "_bucket", F.pmod(F.col(col), F.lit(n_shards)).cast("int")
+    )
+
+    def probe(key, rows: pd.DataFrame, layers: pd.DataFrame) -> pd.DataFrame:
+        rows = rows.drop(columns=["_bucket"])
+        if rows.empty:
+            return pd.DataFrame({c: [] for c in [*cols, "_maybe_seen"]})
+        maybe = np.zeros(len(rows), dtype=bool)
+        if len(layers):
+            h = rows[col].to_numpy(dtype=np.int64).astype(np.uint64)
+            for lay in layers.itertuples(index=False):
+                maybe |= bloom_contains(
+                    bytes(lay.bloom), int(lay.n_bits), int(lay.k), h
+                )
+                if maybe.all():
+                    break
+        rows = rows.copy()
+        rows["_maybe_seen"] = maybe
+        return rows
+
+    return (
+        fr.groupBy("_bucket")
+        .cogroup(shards_df.groupBy("bucket"))
+        .applyInPandas(probe, out_schema)
+    )
+
+
+class StoreBloomFilter:
+    """Round-scoped seen filter backed by the snapshot store (the 10^10
+    path — VERDICT round 1 finding #2): shard layers live in the
+    append-only ``bloomshards`` table, the probe is a bucket cogroup, and
+    the per-round update is a bloom over ONLY the round's seen delta.
+    Nothing is collected; nothing rides a task closure."""
+
+    def __init__(self, shards_df, n_shards: int, fpp: float, backfill_df=None):
+        self.shards_df = shards_df
+        self.n_shards = n_shards
+        self.fpp = fpp
+        self._backfill = backfill_df  # layers covering pre-existing seen
+                                      # rows of a store with no shard table
+
+    def __call__(self, frontier):
+        return bloom_tag_store(frontier, self.shards_df, self.n_shards)
+
+    def delta_tables(self, seen_delta) -> dict:
+        """Tables run_round commits alongside the snapshot: one new bloom
+        layer per bucket covering exactly this round's seen delta (plus a
+        one-time backfill layer when the store predates the shard table)."""
+        delta = bloom_shards_df(
+            seen_delta.select("url_hash"), self.n_shards, self.fpp
+        )
+        if self._backfill is not None:
+            delta = self._backfill.unionByName(delta)
+        return {"bloomshards": delta}
+
+
 def bloom_seen_filter_factory(n_shards: int = 32, fpp: float = 1e-3):
-    """seen_filter_factory for engine.crawl.run_crawl: per round, build the
-    shards from the committed seen snapshot and return the tagging fn."""
+    """seen_filter_factory for engine.crawl.run_crawl — store-backed: read
+    the committed shard layers at snapshot sid (building them from the
+    seen table only when the store has never carried shards), probe via
+    bucket cogroup, and hand run_round the per-round delta layer to commit
+    with the snapshot."""
 
     def factory(spark, store, sid):
-        seen = store.read(spark, "seen", sid).select("url_hash")
-        shards = build_bloom_shards(seen, n_shards, fpp)
-        return lambda df: bloom_tag(df, shards)
+        try:
+            shards = store.read(spark, "bloomshards", sid)
+            backfill = None
+        except FileNotFoundError:
+            seen = store.read(spark, "seen", sid).select("url_hash")
+            shards = bloom_shards_df(seen, n_shards, fpp)
+            backfill = shards
+        return StoreBloomFilter(shards, n_shards, fpp, backfill)
 
     return factory
 
@@ -382,14 +466,152 @@ def build_cuckoo_shards(seen_df, n_shards: int = 32) -> CuckooShards:
     )
 
 
+_CK_SHARD_SCHEMA = "bucket int, table binary, n_buckets long, saturated boolean"
+
+
+def _cuckoo_build_headroom(keys: np.ndarray) -> CuckooShard:
+    """First-time bucket build with 4x capacity headroom so later per-round
+    delta inserts usually land without a rebuild."""
+    n = max(len(keys) * 4, 64)
+    while True:
+        shard = CuckooShard(n)
+        if all(shard.insert(int(k)) for k in keys.astype(np.uint64)):
+            return shard
+        n *= 2
+
+
+def cuckoo_shards_update_df(old_df, delta_keys, n_shards: int):
+    """Incremental per-round cuckoo shard update, executor-side: cogroup
+    the existing shard rows with the round's new keys on bucket; insert
+    in place.  A bucket whose shard can no longer accept inserts (headroom
+    exhausted — partial-key tables cannot grow without the original keys)
+    flips to ``saturated``: the probe then treats its every key as
+    maybe-seen (sound — no false negative is possible), and an offline
+    rebuild from the seen table restores prune power.  Only buckets with
+    delta keys change content; on Iceberg this update is an
+    overwritePartitions touching exactly those buckets."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def upd(key, old: pd.DataFrame, delta: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(key[0])
+        keys = (
+            delta["url_hash"].to_numpy(dtype=np.int64)
+            if len(delta)
+            else np.zeros(0, dtype=np.int64)
+        )
+        if len(old):
+            row = old.iloc[0]
+            if bool(row["saturated"]):
+                return old[["bucket", "table", "n_buckets", "saturated"]]
+            shard = CuckooShard.from_bytes(
+                bytes(row["table"]), int(row["n_buckets"])
+            )
+            ok = all(shard.insert(int(k)) for k in keys.astype(np.uint64))
+            saturated = not ok
+        else:
+            shard = _cuckoo_build_headroom(keys)
+            saturated = False
+        return pd.DataFrame(
+            {
+                "bucket": [bucket],
+                "table": [shard.to_bytes()],
+                "n_buckets": [shard.n_buckets],
+                "saturated": [saturated],
+            }
+        )
+
+    keyed = delta_keys.select(
+        "url_hash",
+        F.pmod("url_hash", F.lit(n_shards)).cast("int").alias("bucket"),
+    )
+    return (
+        old_df.groupBy("bucket")
+        .cogroup(keyed.groupBy("bucket"))
+        .applyInPandas(upd, _CK_SHARD_SCHEMA)
+    )
+
+
+def cuckoo_tag_store(df, shards_df, n_shards: int, col: str = "url_hash"):
+    """Executor-side cuckoo probe — the deletable twin of bloom_tag_store
+    (same cogroup-on-bucket topology, no driver involvement).  Saturated
+    buckets degrade to all-maybe-seen, never to a false negative."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    out_schema = StructType(
+        df.schema.fields + [StructField("_maybe_seen", BooleanType(), False)]
+    )
+    cols = df.columns
+    fr = df.withColumn(
+        "_bucket", F.pmod(F.col(col), F.lit(n_shards)).cast("int")
+    )
+
+    def probe(key, rows: pd.DataFrame, shard_rows: pd.DataFrame) -> pd.DataFrame:
+        rows = rows.drop(columns=["_bucket"])
+        if rows.empty:
+            return pd.DataFrame({c: [] for c in [*cols, "_maybe_seen"]})
+        if len(shard_rows):
+            row = shard_rows.iloc[0]
+            if bool(row["saturated"]):
+                maybe = np.ones(len(rows), dtype=bool)
+            else:
+                shard = CuckooShard.from_bytes(
+                    bytes(row["table"]), int(row["n_buckets"])
+                )
+                maybe = shard.contains_batch(
+                    rows[col].to_numpy(dtype=np.int64)
+                )
+        else:
+            maybe = np.zeros(len(rows), dtype=bool)
+        rows = rows.copy()
+        rows["_maybe_seen"] = maybe
+        return rows
+
+    return (
+        fr.groupBy("_bucket")
+        .cogroup(shards_df.groupBy("bucket"))
+        .applyInPandas(probe, out_schema)
+    )
+
+
+class StoreCuckooFilter:
+    """Store-backed cuckoo seen filter: full shard set lives in the
+    REPLACE table ``cuckooshards``; per round the update cogroups old
+    shards with the seen delta (content changes only in buckets that
+    received keys) and run_round commits the result with the snapshot."""
+
+    def __init__(self, shards_df, n_shards: int):
+        self.shards_df = shards_df
+        self.n_shards = n_shards
+
+    def __call__(self, frontier):
+        return cuckoo_tag_store(frontier, self.shards_df, self.n_shards)
+
+    def delta_tables(self, seen_delta) -> dict:
+        return {
+            "cuckooshards": cuckoo_shards_update_df(
+                self.shards_df,
+                seen_delta.select("url_hash"),
+                self.n_shards,
+            )
+        }
+
+
 def cuckoo_seen_filter_factory(n_shards: int = 32):
-    """seen_filter_factory for engine.crawl.run_crawl — cuckoo variant of
-    bloom_seen_filter_factory (deletable shards for re-crawl eviction)."""
+    """seen_filter_factory for engine.crawl.run_crawl — store-backed
+    cuckoo variant of bloom_seen_filter_factory (deletable shards for
+    re-crawl eviction; CuckooShard.delete is the eviction primitive)."""
 
     def factory(spark, store, sid):
-        seen = store.read(spark, "seen", sid).select("url_hash")
-        shards = build_cuckoo_shards(seen, n_shards)
-        return lambda df: cuckoo_tag(df, shards)
+        try:
+            shards = store.read(spark, "cuckooshards", sid)
+        except FileNotFoundError:
+            seen = store.read(spark, "seen", sid).select("url_hash")
+            empty = spark.createDataFrame([], _CK_SHARD_SCHEMA)
+            shards = cuckoo_shards_update_df(empty, seen, n_shards)
+        return StoreCuckooFilter(shards, n_shards)
 
     return factory
 

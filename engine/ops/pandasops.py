@@ -49,6 +49,15 @@ def asof_join_cogroup(spark, sf):
             )
         else:
             m = left.assign(ts_c=pd.NaT)
+        # epoch seconds for matched clicks only: never astype("int64") a
+        # datetime column that may hold NaT (pandas deprecated the
+        # NaT→sentinel conversion; it is slated to raise)
+        click_ts = pd.Series(pd.NA, index=m.index, dtype="Int64")
+        matched = m["ts_c"].notna()
+        if matched.any():
+            click_ts[matched] = (
+                m.loc[matched, "ts_c"].astype("int64") // 10**9
+            )
         out = pd.DataFrame(
             {
                 "purchase_id": m["event_id"],
@@ -56,9 +65,7 @@ def asof_join_cogroup(spark, sf):
                     m["ts"].astype("int64") // 10**9
                 ),
                 "user_id": m["user_id"],
-                "click_ts": (m["ts_c"].astype("int64") // 10**9).where(
-                    m["ts_c"].notna()
-                ),
+                "click_ts": click_ts,
             }
         )
         return out

@@ -201,8 +201,46 @@ def ann_lsh_bucket(spark, sf):
     "K",
 )
 def embed_cosine_neardup(spark, sf):
-    # embedding-cosine near-dup pairs (threshold 0.5); sf0.01 keeps the
-    # all-pairs compare tractable — the ANN bucket path is the scale route
+    """Embedding-cosine near-dup pairs (threshold 0.5) — the SCALE-SAFE
+    shape: candidates meet only inside an LSH bucket (equi hash join on
+    the bucket key — no BroadcastNestedLoopJoin anywhere, plan-asserted
+    in tests/test_plans.py), then exact cosine re-ranks, so false
+    candidates cannot survive.  Recall is the LSH guarantee
+    (probabilistic in general); the deterministic sha-derived hyperplanes
+    make it a fixed fact per dataset, and tests/test_simsearch.py asserts
+    the result set EQUALS the all-pairs oracle (neardup_allpairs) on the
+    test tables — which is also why the all-pairs DuckDB oracle above
+    still hash-matches."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", _dbl(F.col("embedding")).alias("embedding")
+    )
+    bucketed = lsh_buckets(emb)
+    # candidate id pairs: equi-join on bucket, dedup before the (heavier)
+    # cosine re-rank — a pair meeting in several tables scores once
+    a = bucketed.select(F.col("vec_id").alias("vec_a"), "bucket")
+    b = bucketed.select(F.col("vec_id").alias("vec_b"), "bucket")
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    cos6 = F.round(cosine_col(F.col("e_a"), F.col("e_b")), 6)
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos6", cos6)
+        .filter(F.col("cos6") >= 0.5)
+        .select("vec_a", "vec_b", F.round("cos6", 4).alias("cos"))
+    )
+
+
+def neardup_allpairs(spark, sf):
+    """All-pairs exact near-dup — the O(n²) pytest oracle the LSH-bucketed
+    operator is equality-checked against (NOT registered: quadratic
+    candidate generation must never be the first-class op)."""
     emb = load_table(spark, sf, "embeddings").select(
         "vec_id", _dbl(F.col("embedding")).alias("embedding")
     )

@@ -84,8 +84,11 @@ def watermark_late_pages(spark, sf):
 
 @op(
     "session_per_host",
-    # gaps-and-islands: a new session starts after a >30min silence per user
-    "WITH g AS (SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER w > INTERVAL "
+    # gaps-and-islands: a new session starts after a >=30min silence per
+    # user — >= matches Spark's session_window boundary semantics, where
+    # windows [t, t+30) and [t+30, t+60) do NOT overlap, so an event
+    # exactly 30 minutes after the previous one opens a NEW session
+    "WITH g AS (SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER w >= INTERVAL "
     "'30 minutes' OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s "
     "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
     "s AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts "

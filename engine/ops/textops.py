@@ -18,17 +18,16 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, DoubleType, LongType
+from pyspark.sql.types import ArrayType, LongType
 
 from engine.io import load_table
 from engine.ops import op
 from engine.textanalysis import (
     LANG_MARKERS,
-    N_BANDS,
     band_keys,
     doc_fingerprint,
-    jaccard,
     minhash_signature,
+    shingle_hashes,
     simhash64,
 )
 
@@ -61,9 +60,28 @@ def _band_keys_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: band_keys(minhash_signature(t or "")))
 
 
-@F.pandas_udf(DoubleType())
-def _jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series([jaccard(x or "", y or "") for x, y in zip(a, b)])
+@F.pandas_udf(_SIG_SCHEMA)
+def _shingle_hashes_udf(texts: pd.Series) -> pd.Series:
+    # distinct 64-bit shingle hashes, ONCE per doc — the verify stage
+    # intersects these JVM-side instead of re-shingling per candidate pair
+    import numpy as np
+
+    return texts.map(
+        lambda t: shingle_hashes(t or "").astype(np.int64).tolist()
+    )
+
+
+def _jvm_jaccard(a, b):
+    """Exact Jaccard over per-doc shingle-hash arrays, pure JVM
+    (array_intersect + size — no Python in the pair loop).  Equal to
+    engine.textanalysis.jaccard up to 64-bit shingle-hash collisions
+    (probability ~n²/2^64; the pytest brute-force comparison would catch
+    one).  Two empty shingle sets are defined as similarity 1.0, matching
+    the pure function."""
+    inter = F.size(F.array_intersect(a, b))
+    return F.when(
+        (F.size(a) == 0) & (F.size(b) == 0), F.lit(1.0)
+    ).otherwise(inter / (F.size(a) + F.size(b) - inter))
 
 
 def minhash_candidate_pairs(docs, id_col="doc_id", text_col="text"):
@@ -97,20 +115,21 @@ def minhash_candidate_pairs(docs, id_col="doc_id", text_col="text"):
 
 @op("dedup_minhash_lsh", None, "K")
 def dedup_minhash_lsh(spark, sf):
+    # verify candidates with the exact n-gram jaccard (filters prune,
+    # verification decides — same invariant as the bloom seen-set).
+    # Shingle hashes are computed ONCE per doc and carried through the
+    # pair join as arrays; the per-pair work is a JVM array_intersect —
+    # a doc in k candidate pairs is never re-shingled k times (hot
+    # boilerplate buckets make k large exactly when that would hurt).
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     pairs = minhash_candidate_pairs(docs)
-    # verify candidates with the exact n-gram jaccard (filters prune,
-    # verification decides — same invariant as the bloom seen-set)
-    ta = docs.select(
-        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
-    )
-    tb = docs.select(
-        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
-    )
+    sh = docs.select("doc_id", _shingle_hashes_udf("text").alias("sh"))
+    ta = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    tb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = (
         pairs.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .withColumn("jac", F.round(_jaccard_udf("text_a", "text_b"), 4))
+        .withColumn("jac", F.round(_jvm_jaccard(F.col("sh_a"), F.col("sh_b")), 4))
         .filter(F.col("jac") >= 0.5)
     )
     return verified.select("doc_a", "doc_b", "jac")
@@ -120,18 +139,20 @@ def dedup_minhash_lsh(spark, sf):
 def dedup_ngram_jaccard(spark, sf):
     """Exact n-gram Jaccard over LSH candidates (the brute-force verifier
     exposed as its own operator; rows-only — pytest oracles it against a
-    driver-side quadratic scan on a sample)."""
+    driver-side quadratic scan on a sample).  Same once-per-doc shingle
+    arrays + JVM intersect as dedup_minhash_lsh."""
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     pairs = minhash_candidate_pairs(docs)
-    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
-    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    sh = docs.select("doc_id", _shingle_hashes_udf("text").alias("sh"))
+    ta = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    tb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
         pairs.join(ta, "doc_a")
         .join(tb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.round(_jaccard_udf("text_a", "text_b"), 4).alias("jac"),
+            F.round(_jvm_jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jac"),
         )
     )
 

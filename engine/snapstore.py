@@ -36,8 +36,8 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
-REPLACE_TABLES = ("frontier",)
-APPEND_TABLES = ("seen", "lineage", "pages_out")
+REPLACE_TABLES = ("frontier", "cuckooshards")
+APPEND_TABLES = ("seen", "lineage", "pages_out", "bloomshards")
 
 
 class SnapStore:

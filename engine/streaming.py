@@ -33,16 +33,28 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     The file source wants a directory it can list, so the single parquet
     file is staged (symlinked) into a temp dir once per (sf_dir, table).
     """
+    import hashlib
+
     src = os.path.join(sf_dir, f"{name}.parquet")
+    # stage dir name from sha256 (reproducible across runs — Python's
+    # hash() is PYTHONHASHSEED-randomized and would leak stage dirs)
+    digest = hashlib.sha256(os.path.abspath(src).encode()).hexdigest()[:12]
     stage = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_stream",
-        f"{name}_{abs(hash(os.path.abspath(src))) % 10**8}",
+        tempfile.gettempdir(), "spark_graft_stream", f"{name}_{digest}"
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, f"{name}.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    # lexists (not exists): a dangling symlink — source deleted and later
+    # recreated — must be replaced, not tripped over
+    if os.path.lexists(link):
+        os.unlink(link)
+    os.symlink(src, link)
+    # exactly ONE staged file ⇒ the whole replay lands in ONE micro-batch.
+    # stream_dedup's equivalence to SELECT DISTINCT depends on this:
+    # dropDuplicatesWithinWatermark evicts state at batch boundaries, so a
+    # multi-file stage could re-emit keys recurring beyond the watermark.
+    staged = [f for f in os.listdir(stage) if not f.startswith(".")]
+    assert staged == [f"{name}.parquet"], staged
     schema = spark.read.parquet(src).schema
     df = spark.readStream.schema(schema).parquet(stage)
     # watermarks require TIMESTAMP (tz-aware); the testdata parquet carries

@@ -133,6 +133,7 @@ def test_bloom_pruned_crawl_equals_exact(spark, tmp_path_factory):
     from engine.filters import cuckoo_seen_filter_factory
 
     results = []
+    stores = []
     for factory in (
         None,
         bloom_seen_filter_factory(n_shards=8),
@@ -154,5 +155,20 @@ def test_bloom_pruned_crawl_equals_exact(spark, tmp_path_factory):
             for r in store.read(spark, "seen").collect()
         )
         results.append((log, seen))
+        stores.append(store)
     assert results[0] == results[1]  # bloom-pruned ≡ exact
     assert results[0] == results[2]  # cuckoo-pruned ≡ exact
+
+    # the store-backed filters commit their shards WITH the snapshots
+    # (executor-built, never collected): bloom layers cover exactly the
+    # seen keys; the cuckoo replace-table carries the full shard set
+    n_seen = len(results[0][1])
+    bloom_layers = stores[1].read(spark, "bloomshards")
+    assert bloom_layers.count() > 0
+    assert (
+        bloom_layers.agg({"n_keys": "sum"}).collect()[0][0] == n_seen
+    )
+    ck = stores[2].read(spark, "cuckooshards")
+    assert ck.count() > 0 and not any(
+        r["saturated"] for r in ck.collect()
+    )

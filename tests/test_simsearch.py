@@ -70,3 +70,38 @@ def test_lsh_bucket_recall_vs_exact(spark, vecs):
     recall = len(ann & exact) / len(exact)
     # pinned floor for the deterministic sha-derived hyperplanes at sf0.001
     assert recall >= 0.2, recall
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_neardup_lsh_equals_allpairs(spark, sf):
+    """The registered near-dup op routes through LSH buckets; on the test
+    tables its result set must EQUAL the quadratic all-pairs oracle —
+    recall 1.0 is a fixed (deterministic-hyperplane) fact per dataset,
+    and precision 1.0 is structural (exact cosine re-rank)."""
+    from engine.ops import REGISTRY, _load_all
+    from engine.ops.simsearch import neardup_allpairs
+
+    _load_all()
+    got = {
+        (r["vec_a"], r["vec_b"], r["cos"])
+        for r in REGISTRY["embed_cosine_neardup"].fn(spark, sf).collect()
+    }
+    exp = {
+        (r["vec_a"], r["vec_b"], r["cos"])
+        for r in neardup_allpairs(spark, sf).collect()
+    }
+    assert got == exp
+
+
+def test_neardup_plan_has_no_nested_loop_join(spark):
+    from engine.ops import REGISTRY, _load_all
+
+    _load_all()
+    plan = (
+        REGISTRY["embed_cosine_neardup"]
+        .fn(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
