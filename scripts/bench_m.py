@@ -64,6 +64,9 @@ def main() -> int:
         ]
     else:
         cmd = [sys.executable, *worker]
+    # same N-core pinning as the scaling bench levels
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{args.cpus - 1}", *cmd]
     print(f"=== M-size crawl, local[{args.cpus}] ===", file=sys.stderr, flush=True)
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=5400)
     sys.stderr.write(out.stderr[-4000:])

@@ -462,6 +462,7 @@ def _write_md(rep: dict, path: str) -> None:
             f"{lv['round_sec_total']} | {t} | {pc} |"
         )
     m_path = os.path.join(os.path.dirname(path), "m_crawl.json")
+    m = None
     if os.path.exists(m_path):
         with open(m_path) as fh:
             m = json.load(fh)
@@ -470,6 +471,17 @@ def _write_md(rep: dict, path: str) -> None:
             f"| local[{m['cpus']}] (M corpus, {mc['n_pages']:,} urls, "
             f"budget {m['budget_per_host']}) | {ml['fetched_total']:,} | "
             f"{ml['round_sec_total']} | {m['value']} | {m['per_core']} |",
+        ]
+    if m is not None:
+        lines += [
+            "",
+            "The M row is the ~10^6-URL-frontier data point (SURVEY.md §6,",
+            "fixtures SIZES['M']: 200 hosts x 5000 mean pages, zipf-skewed,",
+            f"body_words={m['corpus']['body_words']} — it stresses FRONTIER",
+            "size where the scaling pair stresses extraction CPU): the",
+            "two-phase range-partitioned fetch_seq, append-only seen deltas,",
+            "and manifest-carried offsets at 3x the scaling corpus.",
+            "Per-round detail in `BENCH/m_crawl.json`.",
         ]
     sub = rep.get("substrate", {})
     lines += [
@@ -516,6 +528,16 @@ def _write_md(rep: dict, path: str) -> None:
         "  appends/overwrites (SURVEY.md §7.2).",
         "- Round 0 is the heaviest (bootstrap-shaped frontier); totals-based",
         "  and median-round efficiencies are both reported.",
+        "- Host-side run-to-run variance grows sharply with thread count on",
+        "  this shared VM: the identical pinned 16-thread round-0 measured",
+        "  43 s, 48 s, and 81 s across three runs an hour apart, while the",
+        "  2- and 8-thread endpoints repeat within ~15%.  That variance —",
+        "  on top of the ~16-vCPU overcommit knee — is why the headline",
+        "  pair is 2→8 and why BENCH/scaling_4to16.json (the secondary",
+        "  pair, 0.40 in its recorded run) mostly measures the host: its",
+        "  own substrate calibration shows parse scaling at only 0.842",
+        "  there, and the same engine build measures 0.87-0.97 on the",
+        "  stable pair.",
     ]
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
