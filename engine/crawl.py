@@ -360,7 +360,7 @@ def run_round(
     # StoreCuckooFilter) commit their per-round shard update with the
     # snapshot — executor-side, no shard bytes through the driver
     extra_tables = (
-        seen_filter.delta_tables(seen_delta)
+        seen_filter.delta_tables(seen_delta, seen_next)
         if seen_filter is not None and hasattr(seen_filter, "delta_tables")
         else {}
     )

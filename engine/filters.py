@@ -95,11 +95,23 @@ class BloomShards:
         return out
 
 
-def bloom_shards_df(seen_df, n_shards: int = 32, fpp: float = 1e-3):
+def bloom_shards_df(
+    seen_df,
+    n_shards: int = 32,
+    fpp: float = 1e-3,
+    gen: int = 0,
+    full: bool = False,
+):
     """One bloom shard per bucket via a grouped Arrow UDF (applyInPandas):
     the build runs where the seen partitions live; only finished shard
     bytes leave the executors.  Returns a DataFrame
-    (bucket, bloom, n_bits, k, n_keys)."""
+    (bucket, bloom, n_bits, k, n_keys, gen, full).
+
+    ``gen`` stamps the layer's generation (snapshot id); ``full=True``
+    marks a COMPACTION layer built over the whole seen set — probes then
+    ignore every layer older than the newest full generation, which is
+    what bounds per-bucket probe cost over a long crawl (see
+    StoreBloomFilter.delta_tables)."""
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -113,6 +125,8 @@ def bloom_shards_df(seen_df, n_shards: int = 32, fpp: float = 1e-3):
                 "n_bits": [n_bits],
                 "k": [k],
                 "n_keys": [len(h)],
+                "gen": [gen],
+                "full": [full],
             }
         )
 
@@ -123,7 +137,8 @@ def bloom_shards_df(seen_df, n_shards: int = 32, fpp: float = 1e-3):
         .groupBy("bucket")
         .applyInPandas(
             _build,
-            "bucket int, bloom binary, n_bits long, k int, n_keys long",
+            "bucket int, bloom binary, n_bits long, k int, n_keys long, "
+            "gen int, full boolean",
         )
     )
 
@@ -175,6 +190,11 @@ def bloom_tag_store(df, shards_df, n_shards: int, col: str = "url_hash"):
             return pd.DataFrame({c: [] for c in [*cols, "_maybe_seen"]})
         maybe = np.zeros(len(rows), dtype=bool)
         if len(layers):
+            # a full (compaction) layer covers every key up to its gen —
+            # layers older than the newest full gen are redundant
+            if "full" in layers and layers["full"].any():
+                cutoff = layers.loc[layers["full"], "gen"].max()
+                layers = layers[layers["gen"] >= cutoff]
             h = rows[col].to_numpy(dtype=np.int64).astype(np.uint64)
             for lay in layers.itertuples(index=False):
                 maybe |= bloom_contains(
@@ -198,36 +218,68 @@ class StoreBloomFilter:
     path — VERDICT round 1 finding #2): shard layers live in the
     append-only ``bloomshards`` table, the probe is a bucket cogroup, and
     the per-round update is a bloom over ONLY the round's seen delta.
-    Nothing is collected; nothing rides a task closure."""
+    Nothing is collected; nothing rides a task closure.
 
-    def __init__(self, shards_df, n_shards: int, fpp: float, backfill_df=None):
+    Compaction: every ``compact_every`` snapshots the committed layer is
+    a FULL bloom over the whole seen set (gen-stamped, full=True); probes
+    skip layers older than the newest full gen, so per-bucket probe cost
+    is bounded by compact_every instead of growing with crawl length.
+    On the snapdir backend stale layer files are still read (and dropped
+    executor-side); on Iceberg the same maintenance is rewriteDataFiles +
+    expire_snapshots, which deletes them physically."""
+
+    def __init__(
+        self,
+        shards_df,
+        n_shards: int,
+        fpp: float,
+        sid: int,
+        compact_every: int = 8,
+        backfill_df=None,
+    ):
         self.shards_df = shards_df
         self.n_shards = n_shards
         self.fpp = fpp
+        self.sid = sid
+        self.compact_every = max(int(compact_every), 1)
         self._backfill = backfill_df  # layers covering pre-existing seen
                                       # rows of a store with no shard table
 
     def __call__(self, frontier):
         return bloom_tag_store(frontier, self.shards_df, self.n_shards)
 
-    def delta_tables(self, seen_delta) -> dict:
-        """Tables run_round commits alongside the snapshot: one new bloom
-        layer per bucket covering exactly this round's seen delta (plus a
-        one-time backfill layer when the store predates the shard table)."""
+    def delta_tables(self, seen_delta, seen_next) -> dict:
+        """Tables run_round commits alongside snapshot sid+1: normally one
+        delta layer over this round's seen delta; on compaction rounds a
+        single full layer over the whole next seen set; plus a one-time
+        full backfill when the store predates the shard table."""
+        nxt = self.sid + 1
+        if nxt % self.compact_every == 0:
+            return {
+                "bloomshards": bloom_shards_df(
+                    seen_next.select("url_hash"),
+                    self.n_shards,
+                    self.fpp,
+                    gen=nxt,
+                    full=True,
+                )
+            }
         delta = bloom_shards_df(
-            seen_delta.select("url_hash"), self.n_shards, self.fpp
+            seen_delta.select("url_hash"), self.n_shards, self.fpp, gen=nxt
         )
         if self._backfill is not None:
             delta = self._backfill.unionByName(delta)
         return {"bloomshards": delta}
 
 
-def bloom_seen_filter_factory(n_shards: int = 32, fpp: float = 1e-3):
+def bloom_seen_filter_factory(
+    n_shards: int = 32, fpp: float = 1e-3, compact_every: int = 8
+):
     """seen_filter_factory for engine.crawl.run_crawl — store-backed: read
     the committed shard layers at snapshot sid (building them from the
     seen table only when the store has never carried shards), probe via
-    bucket cogroup, and hand run_round the per-round delta layer to commit
-    with the snapshot."""
+    bucket cogroup, and hand run_round the per-round delta (or periodic
+    full-compaction) layer to commit with the snapshot."""
 
     def factory(spark, store, sid):
         try:
@@ -235,9 +287,11 @@ def bloom_seen_filter_factory(n_shards: int = 32, fpp: float = 1e-3):
             backfill = None
         except FileNotFoundError:
             seen = store.read(spark, "seen", sid).select("url_hash")
-            shards = bloom_shards_df(seen, n_shards, fpp)
+            shards = bloom_shards_df(seen, n_shards, fpp, gen=sid, full=True)
             backfill = shards
-        return StoreBloomFilter(shards, n_shards, fpp, backfill)
+        return StoreBloomFilter(
+            shards, n_shards, fpp, sid, compact_every, backfill
+        )
 
     return factory
 
@@ -589,7 +643,7 @@ class StoreCuckooFilter:
     def __call__(self, frontier):
         return cuckoo_tag_store(frontier, self.shards_df, self.n_shards)
 
-    def delta_tables(self, seen_delta) -> dict:
+    def delta_tables(self, seen_delta, seen_next) -> dict:
         return {
             "cuckooshards": cuckoo_shards_update_df(
                 self.shards_df,

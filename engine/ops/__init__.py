@@ -53,7 +53,13 @@ def op(name: str, oracle: str | None, group: str):
 # The four elementary function-suite sanity ops go LAST within the oracled
 # block — if the budget cuts inside it, what falls off is the four entries
 # whose SQL twins are trivial to mirror, not a dedup/streaming/window op.
-_DEFER_WITHIN_ORACLED = ("str_suite", "date_suite", "math_suite", "array_suite")
+_DEFER_WITHIN_ORACLED = (
+    "str_suite",
+    "date_suite",
+    "math_suite",
+    "array_suite",
+    "json_map_suite",
+)
 
 
 def _ordered() -> list[tuple[str, OpSpec]]:

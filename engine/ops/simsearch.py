@@ -237,6 +237,112 @@ def embed_cosine_neardup(spark, sf):
     )
 
 
+# ------------------------------------------------------------------- IVF
+N_CELLS = 16  # coarse centroids (inverted lists)
+N_PROBE = 3  # cells each query probes
+
+
+def _ivf_assign_udf(centroids: np.ndarray, nprobe: int):
+    """Pandas UDF assigning each vector to its ``nprobe`` nearest coarse
+    centroids (by cosine).  The centroid matrix is K x D — dim-table
+    sized by construction (K=16 regardless of corpus size), so shipping
+    it in the closure is the ANN-standard move, not a scale hazard."""
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def assign(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy()).astype(np.float64)  # (n, D)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ cn.T  # (n, K)
+        order = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    return assign
+
+
+def ivf_centroids(emb: DataFrame) -> np.ndarray:
+    """Deterministic coarse quantizer: seed with the K vectors whose
+    sha-derived priority is smallest (data-independent pseudo-random,
+    identical on every run/executor), then one Lloyd step — assign all
+    vectors to their nearest seed and average per cell — computed as a
+    DataFrame aggregation (posexplode + avg), no driver-side loops over
+    the corpus.  Only the K x D centroid matrix is ever collected."""
+    seeds = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.unhex(F.sha2(F.concat(F.lit("ivf:"), F.col("vec_id")), 256))
+            .substr(1, 8)
+            .alias("_pri"),
+        )
+        .orderBy("_pri", "vec_id")
+        .limit(N_CELLS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    seed_mat = np.asarray([r["embedding"] for r in seeds], dtype=np.float64)
+    assign1 = _ivf_assign_udf(seed_mat, 1)
+    assigned = emb.select(
+        F.element_at(assign1("embedding"), 1).alias("cell"),
+        F.posexplode("embedding").alias("dim", "x"),
+    )
+    means = (
+        assigned.groupBy("cell", "dim")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    )
+    cents = seed_mat.copy()  # empty cells keep their seed vector
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in means:
+        by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = float(r["m"])
+    for c, dims in by_cell.items():
+        for d, v in dims.items():
+            cents[c, d] = v
+    return cents
+
+
+@op("ann_ivf", None, "K")
+def ann_ivf(spark, sf):
+    """IVF-style ANN (task brief: 'an IVF or LSH-bucketed variant as the
+    scale path', complementing ann_lsh_bucket): a deterministic 16-cell
+    coarse quantizer partitions the corpus into inverted lists; queries
+    probe their N_PROBE nearest cells; candidates meet via an equi hash
+    join on the cell id and exact cosine re-ranks.  Rows-only
+    (approximate); recall vs the exact top-k is pytest-pinned
+    (tests/test_simsearch.py)."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", _dbl(F.col("embedding")).alias("embedding")
+    )
+    cents = ivf_centroids(emb)
+    # candidates post to their single nearest cell; queries probe N_PROBE
+    cand_assign = _ivf_assign_udf(cents, 1)
+    q_assign = _ivf_assign_udf(cents, N_PROBE)
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.element_at(cand_assign("embedding"), 1).alias("cell"),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(q_assign("embedding")).alias("cell"),
+    )
+    scored = c.join(F.broadcast(q), "cell").select(
+        "query_id",
+        "cand_id",
+        F.round(cosine_col(F.col("q_emb"), F.col("c_emb")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "cand_id", "rnk", "cos")
+    )
+
+
 def neardup_allpairs(spark, sf):
     """All-pairs exact near-dup — the O(n²) pytest oracle the LSH-bucketed
     operator is equality-checked against (NOT registered: quadratic

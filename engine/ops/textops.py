@@ -229,6 +229,44 @@ def token_count(spark, sf):
     )
 
 
+# BPE-ish pre-tokenizer (GPT-2-style shape, ASCII-restricted so Spark's
+# Java regex and DuckDB's RE2 agree symbol-for-symbol): letter runs,
+# digit runs, single punctuation marks.  The subword estimate charges
+# ceil(len/4) tokens per letter run — the ~4-chars-per-BPE-token rule —
+# and 1 per digit run or punctuation mark.
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@op(
+    "token_count_bpe",
+    "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9[:space:]]')) AS n_pieces, "
+    "CAST(list_sum(list_transform(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9[:space:]]'), "
+    "w -> CASE WHEN regexp_matches(w, '^[A-Za-z]') THEN CAST(ceil(length(w) / 4.0) AS BIGINT) "
+    "ELSE 1 END)) AS BIGINT) AS n_bpe_est FROM documents",
+    "K",
+)
+def token_count_bpe(spark, sf):
+    """Subword-ish token counting (task brief: 'token counting (whitespace
+    + a BPE-ish regex)') — all JVM-side: regexp_extract_all + transform +
+    aggregate, no Python."""
+    docs = load_table(spark, sf, "documents")
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))
+    per_piece = F.transform(
+        pieces,
+        lambda w: F.when(
+            w.rlike("^[A-Za-z]"),
+            F.ceil(F.length(w) / F.lit(4.0)).cast("long"),
+        ).otherwise(F.lit(1).cast("long")),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(pieces).alias("n_pieces"),
+        F.aggregate(
+            per_piece, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("n_bpe_est"),
+    )
+
+
 def _marker_count_spark(markers):
     return F.size(
         F.filter(_toks(), lambda t: t.isin(*markers))

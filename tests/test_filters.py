@@ -138,6 +138,9 @@ def test_bloom_pruned_crawl_equals_exact(spark, tmp_path_factory):
         None,
         bloom_seen_filter_factory(n_shards=8),
         cuckoo_seen_filter_factory(n_shards=8),
+        # compaction forced every 2 rounds: full layers must keep the
+        # crawl byte-identical while bounding probe-side layer count
+        bloom_seen_filter_factory(n_shards=8, compact_every=2),
     ):
         store = SnapStore(str(tmp_path_factory.mktemp("bloomstore")))
         run_crawl(
@@ -158,17 +161,39 @@ def test_bloom_pruned_crawl_equals_exact(spark, tmp_path_factory):
         stores.append(store)
     assert results[0] == results[1]  # bloom-pruned ≡ exact
     assert results[0] == results[2]  # cuckoo-pruned ≡ exact
+    assert results[0] == results[3]  # bloom + compaction ≡ exact
 
     # the store-backed filters commit their shards WITH the snapshots
     # (executor-built, never collected): bloom layers cover exactly the
     # seen keys; the cuckoo replace-table carries the full shard set
+    def live_key_mass(store):
+        """Key mass of the layers a probe actually consults: the newest
+        full (compaction) layer plus every delta after it — must equal
+        the final seen-set size."""
+        rows = store.read(spark, "bloomshards").collect()
+        fulls = [r["gen"] for r in rows if r["full"]]
+        cutoff = max(fulls) if fulls else -1
+        return sum(
+            r["n_keys"]
+            for r in rows
+            if (r["full"] and r["gen"] == cutoff) or r["gen"] > cutoff
+        )
+
     n_seen = len(results[0][1])
-    bloom_layers = stores[1].read(spark, "bloomshards")
-    assert bloom_layers.count() > 0
-    assert (
-        bloom_layers.agg({"n_keys": "sum"}).collect()[0][0] == n_seen
-    )
+    assert live_key_mass(stores[1]) == n_seen
     ck = stores[2].read(spark, "cuckooshards")
     assert ck.count() > 0 and not any(
         r["saturated"] for r in ck.collect()
     )
+    # compaction actually happened (compact_every=2 forces it), the newest
+    # full generation covers exactly the seen set at its snapshot, and the
+    # live layers sum to the final seen set
+    comp = stores[3].read(spark, "bloomshards").collect()
+    full_gens = [r["gen"] for r in comp if r["full"]]
+    assert full_gens, "no compaction layer committed"
+    cutoff = max(full_gens)
+    full_keys = sum(
+        r["n_keys"] for r in comp if r["full"] and r["gen"] == cutoff
+    )
+    assert full_keys == stores[3].read(spark, "seen", cutoff).count()
+    assert live_key_mass(stores[3]) == n_seen
