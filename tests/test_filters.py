@@ -197,3 +197,55 @@ def test_bloom_pruned_crawl_equals_exact(spark, tmp_path_factory):
     )
     assert full_keys == stores[3].read(spark, "seen", cutoff).count()
     assert live_key_mass(stores[3]) == n_seen
+
+
+@pytest.mark.slow
+def test_bloom_filtered_crawl_survives_kill_resume(spark, tmp_path_factory):
+    """Kill between data write and manifest commit WITH the store-backed
+    bloom filter (compaction forced): the re-run must overwrite the orphan
+    shard layers and converge to the exact plan's final state — shard
+    visibility is manifest-gated exactly like every other table."""
+    import os
+
+    from engine.crawl import EngineConfig, fetch_log, run_crawl
+    from engine.filters import bloom_seen_filter_factory
+    from engine.io import load_corpus
+    from engine.snapstore import SnapStore
+    from fixtures.gen import gen_corpus, write_parquet
+    from tests.test_resume import KillBeforeManifest
+
+    d = tmp_path_factory.mktemp("xs_corpus_bf")
+    write_parquet(gen_corpus("XS"), str(d))
+    tables = load_corpus(spark, str(d))
+    cfg = EngineConfig(default_budget=2, max_rounds=100, salt=2)
+    factory = bloom_seen_filter_factory(n_shards=8, compact_every=2)
+
+    ref = SnapStore(str(tmp_path_factory.mktemp("bf_ref")))
+    run_crawl(
+        spark, ref, tables["pages"], tables["robots"], tables["seeds"], cfg
+    )
+
+    root = str(tmp_path_factory.mktemp("bf_kill"))
+    kill = KillBeforeManifest(root, kill_at=3)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        run_crawl(
+            spark, kill, tables["pages"], tables["robots"], tables["seeds"],
+            cfg, seen_filter_factory=factory,
+        )
+    store = SnapStore(root)
+    assert store.latest() == 2
+    assert os.path.isdir(os.path.join(store.data_dir, "bloomshards"))
+
+    run_crawl(
+        spark, store, tables["pages"], tables["robots"], tables["seeds"],
+        cfg, seen_filter_factory=factory,
+    )
+
+    def state(s):
+        log = [tuple(r) for r in fetch_log(spark, s).collect()]
+        seen = sorted(
+            (r["url_hash"], r["url"]) for r in s.read(spark, "seen").collect()
+        )
+        return log, seen
+
+    assert state(store) == state(ref)
