@@ -98,6 +98,23 @@ def minhash_jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
 # ------------------------------------------------------------------ simhash
 
 
+def _simhash_from_counts(hs: np.ndarray, cs: np.ndarray) -> int:
+    """Fingerprint from distinct token hashes + counts, one (n, 64)
+    matrix op instead of a per-token Python loop — bit-identical to the
+    scalar accumulation (same integer arithmetic, same >0 threshold)."""
+    bits = (
+        (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+        & np.uint64(1)
+    ).astype(np.int64)  # (n, 64)
+    acc = ((bits * 2 - 1) * cs[:, None]).sum(axis=0)
+    fp = int(
+        ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+            dtype=np.uint64
+        )
+    )
+    return struct.unpack(">q", struct.pack(">Q", fp & 0xFFFFFFFFFFFFFFFF))[0]
+
+
 def simhash64(text: str) -> int:
     """Token-frequency-weighted 64-bit simhash (signed, Spark LongType)."""
     counts: dict[str, int] = {}
@@ -105,13 +122,13 @@ def simhash64(text: str) -> int:
         counts[t] = counts.get(t, 0) + 1
     if not counts:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    bits = (np.uint64(1) << np.arange(64, dtype=np.uint64))
-    for tok, c in counts.items():
-        h = np.uint64(token_hash64(tok))
-        acc += np.where((h & bits) != 0, c, -c)
-    fp = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
-    return struct.unpack(">q", struct.pack(">Q", fp & 0xFFFFFFFFFFFFFFFF))[0]
+    hs = np.fromiter(
+        (token_hash64(tok) for tok in counts),
+        dtype=np.uint64,
+        count=len(counts),
+    )
+    cs = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+    return _simhash_from_counts(hs, cs)
 
 
 def hamming64(a: int, b: int) -> int:
