@@ -16,6 +16,7 @@ Design split per operator:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
@@ -60,15 +61,32 @@ def _band_keys_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: band_keys(minhash_signature(t or "")))
 
 
-@F.pandas_udf(_SIG_SCHEMA)
-def _shingle_hashes_udf(texts: pd.Series) -> pd.Series:
-    # distinct 64-bit shingle hashes, ONCE per doc — the verify stage
-    # intersects these JVM-side instead of re-shingling per candidate pair
-    import numpy as np
+from pyspark.sql.types import StructField, StructType  # noqa: E402
 
-    return texts.map(
-        lambda t: shingle_hashes(t or "").astype(np.int64).tolist()
-    )
+_SKETCH_SCHEMA = StructType(
+    [
+        StructField("bands", ArrayType(LongType())),
+        StructField("sh", ArrayType(LongType())),
+    ]
+)
+
+
+@F.pandas_udf(_SKETCH_SCHEMA)
+def _minhash_sketch_udf(texts: pd.Series) -> pd.DataFrame:
+    """Band keys AND shingle-hash array from ONE tokenize+shingle+sha
+    pass per doc (shingle hashing — sha256 per shingle — dominates the
+    sketch cost; the minhash signature is derived from the same hashes).
+    The dedup ops persist this sketch so the LSH pair join and both
+    verify sides read it from cache: one shingle pass per doc total."""
+    from engine.textanalysis import minhash_signature_from_hashes
+
+    bands: list[list[int]] = []
+    shs: list[list[int]] = []
+    for t in texts:
+        sh = shingle_hashes(t or "")
+        bands.append(band_keys(minhash_signature_from_hashes(sh)))
+        shs.append(sh.astype(np.int64).tolist())
+    return pd.DataFrame({"bands": bands, "sh": shs})
 
 
 def _jvm_jaccard(a, b):
@@ -84,19 +102,37 @@ def _jvm_jaccard(a, b):
     ).otherwise(inter / (F.size(a) + F.size(b) - inter))
 
 
-def minhash_candidate_pairs(docs, id_col="doc_id", text_col="text"):
-    """MinHash-LSH candidate pairs: sign → band-explode → bucket self-join.
+def minhash_sketch(docs, id_col="doc_id", text_col="text"):
+    """(doc_id, bands, sh) — the one-pass-per-doc sketch frame, PERSISTED:
+    the LSH pair join (bands) and both verify join sides (sh) all read it
+    from cache, so each doc is tokenized/shingled/sha'd exactly once per
+    dedup run (round 1 computed shingles three times per doc)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            _minhash_sketch_udf(F.col(text_col)).alias("sk"),
+        )
+        .select(
+            "doc_id",
+            F.col("sk.bands").alias("bands"),
+            F.col("sk.sh").alias("sh"),
+        )
+        .persist()
+    )
+
+
+def minhash_candidate_pairs(sk):
+    """MinHash-LSH candidate pairs from a sketch frame: band-explode →
+    bucket self-join.
 
     Scale shape: the explode produces N_BANDS rows/doc; the self-join keys
     on (band_id, band_key) so only same-bucket docs ever meet — no
     quadratic pair generation.  Hot buckets (boilerplate docs) are the
     skew risk at 100 TB; AQE skew-join handles the join side.
     """
-    sig = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(_band_keys_udf(F.col(text_col))).alias(
-            "band_id", "band_key"
-        ),
+    sig = sk.select(
+        "doc_id",
+        F.posexplode("bands").alias("band_id", "band_key"),
     )
     a, b = sig.alias("a"), sig.alias("b")
     return (
@@ -117,15 +153,16 @@ def minhash_candidate_pairs(docs, id_col="doc_id", text_col="text"):
 def dedup_minhash_lsh(spark, sf):
     # verify candidates with the exact n-gram jaccard (filters prune,
     # verification decides — same invariant as the bloom seen-set).
-    # Shingle hashes are computed ONCE per doc and carried through the
-    # pair join as arrays; the per-pair work is a JVM array_intersect —
-    # a doc in k candidate pairs is never re-shingled k times (hot
-    # boilerplate buckets make k large exactly when that would hurt).
+    # Shingle hashes are computed ONCE per doc (minhash_sketch, persisted)
+    # and carried through the pair join as arrays; the per-pair work is a
+    # JVM array_intersect — a doc in k candidate pairs is never
+    # re-shingled k times (hot boilerplate buckets make k large exactly
+    # when that would hurt).
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    pairs = minhash_candidate_pairs(docs)
-    sh = docs.select("doc_id", _shingle_hashes_udf("text").alias("sh"))
-    ta = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    tb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sk = minhash_sketch(docs)
+    pairs = minhash_candidate_pairs(sk)
+    ta = sk.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    tb = sk.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = (
         pairs.join(ta, "doc_a")
         .join(tb, "doc_b")
@@ -142,10 +179,10 @@ def dedup_ngram_jaccard(spark, sf):
     driver-side quadratic scan on a sample).  Same once-per-doc shingle
     arrays + JVM intersect as dedup_minhash_lsh."""
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    pairs = minhash_candidate_pairs(docs)
-    sh = docs.select("doc_id", _shingle_hashes_udf("text").alias("sh"))
-    ta = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    tb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sk = minhash_sketch(docs)
+    pairs = minhash_candidate_pairs(sk)
+    ta = sk.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    tb = sk.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
         pairs.join(ta, "doc_a")
         .join(tb, "doc_b")

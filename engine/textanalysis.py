@@ -68,14 +68,20 @@ _A = np.asarray(
 _B = np.asarray([_derived_u64("mh-b", i) for i in range(N_HASHES)], dtype=np.uint64)
 
 
-def minhash_signature(text: str, k: int = 3) -> np.ndarray:
-    """64 minhash values (uint64) of the doc's k-token shingle set."""
-    sh = shingle_hashes(text, k)
+def minhash_signature_from_hashes(sh: np.ndarray) -> np.ndarray:
+    """64 minhash values (uint64) from precomputed shingle hashes —
+    callers that already hold the hashes (one-pass sketch UDFs) skip the
+    re-tokenize/re-sha."""
     if sh.size == 0:
         return np.zeros(N_HASHES, dtype=np.uint64)
     with np.errstate(over="ignore"):
         m = _A[:, None] * sh[None, :] + _B[:, None]  # (64, n) mod 2^64
     return m.min(axis=1)
+
+
+def minhash_signature(text: str, k: int = 3) -> np.ndarray:
+    """64 minhash values (uint64) of the doc's k-token shingle set."""
+    return minhash_signature_from_hashes(shingle_hashes(text, k))
 
 
 def band_keys(sig: np.ndarray) -> list[int]:
