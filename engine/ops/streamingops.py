@@ -132,6 +132,67 @@ def stream_dedup(spark, sf):
     return run_to_df(dedup, "append")
 
 
+def _user_stats_fn(key, pdfs, state):
+    """Custom stateful operator body (applyInPandasWithState): per-user
+    running (count, sum, last-seen) carried in explicit GroupState across
+    micro-batches.  Arrow-batched — the iterator yields pandas chunks, so
+    the per-row work is vectorized (no per-row Python)."""
+    import pandas as pd
+
+    n, s, last = state.get if state.exists else (0, 0.0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+        # ns → epoch seconds; events.ts is non-null by construction
+        last = max(last, int(pdf["ts"].astype("int64").max() // 1_000_000_000))
+    state.update((n, s, last))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value": [round(s, 4)],
+            "last_epoch": [last],
+        }
+    )
+
+
+def stateful_user_stats_stream(ev):
+    """Shared plan for the op and the multi-batch pytest: per-user running
+    stats via an explicit-GroupState stateful operator.
+
+    Scale shape: state is partitioned by the group key across executors
+    (one shuffle on user_id), each key's state is a 3-field tuple — O(keys)
+    state total, no driver involvement.  In 'update' mode each batch emits
+    the keys it touched with their CUMULATIVE totals, so the latest
+    emission per key is the final answer regardless of batch count."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _user_stats_fn,
+        outputStructType="user_id long, n_events long, sum_value double, last_epoch long",
+        stateStructType="n long, s double, last long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@op(
+    "stateful_user_stats",
+    "SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value, "
+    "CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS last_epoch "
+    "FROM events GROUP BY user_id",
+    "J",
+)
+def stateful_user_stats(spark, sf):
+    """Custom stateful streaming operator (task brief: applyInPandasWithState
+    for custom stateful operators).  The single-file stage replays in one
+    micro-batch, so each key emits exactly once with its final totals and
+    the plain GROUP BY oracle applies; cross-batch state carry is pinned by
+    tests/test_operators.py::test_stateful_user_stats_multibatch."""
+    ev = stream_table(spark, sf, "events")
+    return run_to_df(stateful_user_stats_stream(ev), "update")
+
+
 @op("stream_rounds", None, "J")
 def stream_rounds(spark, sf):
     """foreachBatch driver (SURVEY.md §2 J 'stream_rounds'): micro-batches

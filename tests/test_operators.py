@@ -165,3 +165,65 @@ def test_stream_rounds_foreachbatch_consumes_everything(spark):
     _load_all()
     out = REGISTRY["stream_rounds"].fn(spark, SF).collect()
     assert sum(r["n"] for r in out) == load_table(spark, SF, "events").count()
+
+
+def test_stateful_user_stats_multibatch(spark, tmp_path):
+    # applyInPandasWithState's whole point is state carried ACROSS
+    # micro-batches; the registered op replays in one batch (oracle-able),
+    # so this pins the cross-batch path: split events into two files,
+    # maxFilesPerTrigger=1 → two batches, and check (a) at least one user
+    # emits in both batches with a GROWING cumulative count, (b) the last
+    # emission per user equals the batch GROUP BY.
+    import glob
+    import shutil
+
+    from engine.ops.streamingops import stateful_user_stats_stream
+    from engine.streaming import run_to_df
+
+    src = (
+        spark.read.parquet(SF + "/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    for i, pred in enumerate(["event_id % 2 = 0", "event_id % 2 = 1"]):
+        tmp = tmp_path / f"w{i}"
+        src.where(pred).coalesce(1).write.parquet(str(tmp))
+        part = glob.glob(str(tmp / "part-*.parquet"))[0]
+        shutil.move(part, str(stage / f"{i}.parquet"))
+
+    sdf = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    out = run_to_df(stateful_user_stats_stream(sdf), "update").toPandas()
+
+    emits = out.groupby("user_id").size()
+    assert (emits == 2).any(), "no user spanned both micro-batches"
+    grew = out.sort_values(["user_id", "n_events"]).groupby("user_id")[
+        "n_events"
+    ]
+    assert (grew.apply(lambda s: s.is_unique and s.is_monotonic_increasing)).all()
+
+    final = (
+        out.sort_values(["user_id", "n_events"])
+        .groupby("user_id")
+        .tail(1)
+        .set_index("user_id")
+        .sort_index()
+    )
+    exact = (
+        src.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.unix_timestamp(F.max("ts")).alias("last_epoch"),
+        )
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert (final["n_events"] == exact["n_events"]).all()
+    assert (final["last_epoch"] == exact["last_epoch"]).all()
+    assert (final["sum_value"] - exact["sum_value"]).abs().max() < 1e-3
