@@ -183,6 +183,23 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     _load_all()
 
+    # Untimed warm-up: first-query costs (codegen compilation, parquet
+    # footer caches, Python-worker + Arrow channel startup) otherwise land
+    # entirely on whichever op runs first (~4s on anti_join_seen at r1).
+    # Headline times should measure steady-state execution.
+    from pyspark.sql import functions as F
+
+    from engine.udfs import hash64_udf
+
+    wa = spark.range(100_000).withColumn("k", F.pmod("id", F.lit(97)))
+    wb = spark.range(1_000).withColumn("k", F.pmod("id", F.lit(97)))
+    _force(wa.join(wb, "k", "left_anti"))
+    _force(
+        spark.range(1_000)
+        .select(F.concat(F.lit("http://w/"), F.col("id")).alias("url"))
+        .select(hash64_udf("url").alias("h"))
+    )
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY.get(name)
