@@ -86,6 +86,10 @@ _FRONT = (
     "ann_ivf",
     "doc_fingerprint",
     "stream_rounds",
+    # -- new in round 2 (no driver row exists yet), oracled
+    "trap_guard",
+    "redirect_resolve",
+    "pivot_status",
     # -- round-1-green re-confirmations (the load-bearing plans)
     "seen_exact_verify",
     "bloom_build_shards",

@@ -108,6 +108,50 @@ def derive_priority(spark, sf):
     )
 
 
+@op(
+    "trap_guard",
+    "SELECT doc_id, depth, is_trap FROM ("
+    "SELECT doc_id, len(string_split(path, '/')) - 1 AS depth, "
+    "(len(string_split(path, '/')) - 1 > 8) OR "
+    "(len(string_split(path, '/')) - 1 "
+    " - len(list_distinct(list_filter(string_split(path, '/'), s -> s <> ''))) "
+    " >= 3) AS is_trap FROM ("
+    "SELECT doc_id, '/' || source || '/' || "
+    "repeat('p' || CAST(doc_id % 3 AS VARCHAR) || '/', CAST(doc_id % 12 AS INT)) "
+    "|| 'd' || CAST(doc_id AS VARCHAR) AS path FROM documents))",
+    "B",
+)
+def trap_guard(spark, sf):
+    # Crawler-trap classifier (SURVEY.md §2 B — frontier hygiene): a URL
+    # path is trap-suspect when it is pathologically deep (> 8 segments:
+    # calendar/faceted-navigation explosions) or when path segments repeat
+    # (>= 3 duplicate segments: session-id / symlink loops).  Pure JVM
+    # higher-order functions — split / filter / array_distinct — so the
+    # gate runs inside whole-stage codegen ahead of the politeness window
+    # and prunes frontier rows before any shuffle.  Paths are synthesized
+    # deterministically from the documents table (same convention as
+    # derive_host).
+    docs = load_table(spark, sf, "documents")
+    path = F.concat(
+        F.lit("/"),
+        F.col("source"),
+        F.lit("/"),
+        F.expr(
+            "repeat('p' || CAST(doc_id % 3 AS STRING) || '/', "
+            "CAST(doc_id % 12 AS INT))"
+        ),
+        F.lit("d"),
+        F.col("doc_id").cast("string"),
+    )
+    segs = F.split(path, "/")
+    depth = (F.size(segs) - F.lit(1)).alias("depth")
+    distinct_ct = F.size(F.array_distinct(F.filter(segs, lambda s: s != "")))
+    is_trap = ((F.size(segs) - 1 > 8) | ((F.size(segs) - 1 - distinct_ct) >= 3)).alias(
+        "is_trap"
+    )
+    return docs.select("doc_id", depth, is_trap)
+
+
 # --------------------------------------------------------------------- C
 
 
@@ -234,6 +278,46 @@ def range_join_events(spark, sf):
     )
 
 
+@op(
+    "redirect_resolve",
+    "SELECT doc_id, doc_id - (doc_id % 5) AS final_doc, "
+    "CAST(doc_id % 5 AS INT) AS hops FROM documents",
+    "C",
+)
+def redirect_resolve(spark, sf):
+    # Redirect-chain resolution by POINTER DOUBLING (Wyllie-style pointer
+    # jumping): each iteration composes the partial-resolution function
+    # with itself — f'(x) = f(f(x)) — via a hash self-join, so a chain of
+    # length L resolves in ceil(log2 L) shuffle rounds instead of L
+    # (Spark has no recursive CTE; the naive one-hop loop is O(L) rounds
+    # and at web scale L-bounded-but-unknown chains make that the wrong
+    # plan).  Terminals are modeled as self-loops so composition is a
+    # fixpoint: extra rounds are no-ops on resolved rows.  Browsers cap
+    # redirect chains at ~20 hops, so 5 doubling rounds cover any real
+    # chain; here chains have length <= 4 (doc_id walks down to the
+    # nearest multiple of 5) and 3 rounds suffice.  `hops` carries chain
+    # length through the composition (hop' = hop + hop∘f).
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    terminal = F.col("doc_id") % 5 == 0
+    f = docs.select(
+        F.col("doc_id").alias("src"),
+        F.when(terminal, F.col("doc_id")).otherwise(F.col("doc_id") - 1).alias("nxt"),
+        F.when(terminal, F.lit(0)).otherwise(F.lit(1)).alias("hops"),
+    )
+    for _ in range(3):
+        a, b = f.alias("a"), f.alias("b")
+        f = a.join(b, F.col("a.nxt") == F.col("b.src")).select(
+            F.col("a.src").alias("src"),
+            F.col("b.nxt").alias("nxt"),
+            (F.col("a.hops") + F.col("b.hops")).alias("hops"),
+        )
+    return f.select(
+        F.col("src").alias("doc_id"),
+        F.col("nxt").alias("final_doc"),
+        F.col("hops").cast("int").alias("hops"),
+    )
+
+
 # --------------------------------------------------------------------- D
 
 
@@ -296,6 +380,34 @@ def rollup_metrics(spark, sf):
             F.count("*").alias("cnt"),
             F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
         )
+    )
+
+
+@op(
+    "pivot_status",
+    "SELECT CAST(user_id % 8 AS INT) AS cohort, "
+    "round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click, "
+    "round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error, "
+    "round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase, "
+    "round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup, "
+    "round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view "
+    "FROM events GROUP BY cohort",
+    "D",
+)
+def pivot_status(spark, sf):
+    # Wide-format status matrix via groupBy().pivot() (SURVEY.md §2 D —
+    # per-host fetch-status dashboards).  The pivot VALUES are given
+    # explicitly: without them Spark runs an extra distinct-collect job to
+    # discover them (a driver round-trip a 100-TB scan cannot afford) and
+    # the output schema becomes data-dependent.  With explicit values the
+    # pivot is a single partial-aggregated hash aggregate — one shuffle,
+    # map-side combine — identical in cost to the unrolled conditional
+    # aggregation the oracle spells out.
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 8).cast("int").alias("cohort"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.round(F.sum("value"), 4))
     )
 
 

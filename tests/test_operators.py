@@ -227,3 +227,55 @@ def test_stateful_user_stats_multibatch(spark, tmp_path):
     assert (final["n_events"] == exact["n_events"]).all()
     assert (final["last_epoch"] == exact["last_epoch"]).all()
     assert (final["sum_value"] - exact["sum_value"]).abs().max() < 1e-3
+
+
+def test_trap_guard_rules(spark):
+    # both trap rules must fire independently: doc_id % 12 in 4..6 repeats
+    # one segment 4-6x (repetition rule only: depth <= 8), % 12 >= 9 is
+    # also pathologically deep (depth rule); % 12 <= 3 is clean
+    from engine.ops import REGISTRY, _load_all
+
+    _load_all()
+    out = REGISTRY["trap_guard"].fn(spark, SF).toPandas().set_index("doc_id")
+    reps = out.index % 12
+    assert (out.loc[reps <= 3, "is_trap"] == False).all()  # noqa: E712
+    assert (out.loc[reps >= 4, "is_trap"] == True).all()  # noqa: E712
+    depth_only = out[(reps >= 4) & (reps <= 6)]
+    assert len(depth_only) > 0 and (depth_only["depth"] <= 8).all(), (
+        "repetition rule must catch shallow repeated-segment paths"
+    )
+    assert (out["depth"] == reps + 2).all()
+
+
+def test_redirect_resolve_pointer_doubling(spark):
+    # closed form: every chain walks down to the nearest multiple of 5;
+    # pointer doubling must fully resolve (every final_doc terminal) and
+    # report exact chain lengths
+    from engine.ops import REGISTRY, _load_all
+
+    _load_all()
+    out = (
+        REGISTRY["redirect_resolve"].fn(spark, SF).toPandas().set_index("doc_id")
+    )
+    assert (out["final_doc"] % 5 == 0).all()
+    assert (out["final_doc"] == out.index - (out.index % 5)).all()
+    assert (out["hops"] == out.index % 5).all()
+
+
+def test_pivot_status_matches_long_format(spark):
+    from engine.io import load_table
+    from engine.ops import REGISTRY, _load_all
+
+    _load_all()
+    wide = REGISTRY["pivot_status"].fn(spark, SF).toPandas().set_index("cohort")
+    long = (
+        load_table(spark, SF, "events")
+        .groupBy(
+            (F.col("user_id") % 8).cast("int").alias("cohort"), "event_type"
+        )
+        .agg(F.round(F.sum("value"), 4).alias("v"))
+        .toPandas()
+        .pivot(index="cohort", columns="event_type", values="v")
+    )
+    for c in ["click", "error", "purchase", "signup", "view"]:
+        assert (wide[c].sort_index() - long[c].sort_index()).abs().max() <= 1e-4
