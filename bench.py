@@ -59,6 +59,9 @@ HEADLINE = [
     "lang_id",
     "quality_score",
     "token_count",
+    "trap_guard",           # frontier-hygiene gate, pure codegen
+    "redirect_resolve",     # pointer-doubling iterative self-join
+    "pivot_status",         # explicit-values pivot, one shuffle
 ]
 
 

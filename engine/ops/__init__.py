@@ -90,6 +90,7 @@ _FRONT = (
     "trap_guard",
     "redirect_resolve",
     "pivot_status",
+    "scan_sitemaps",
     # -- round-1-green re-confirmations (the load-bearing plans)
     "seen_exact_verify",
     "bloom_build_shards",

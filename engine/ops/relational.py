@@ -28,6 +28,39 @@ def scan_pages(spark, sf):
     )
 
 
+@op(
+    "scan_sitemaps",
+    "SELECT source AS host, 'http://' || source || '.test/d/' "
+    "|| CAST(doc_id AS VARCHAR) AS url FROM documents",
+    "A",
+)
+def scan_sitemaps(spark, sf):
+    # Sitemap-XML seed discovery (SURVEY.md §2 A — the third seed source
+    # next to seed lists and robots.txt): build one sitemap per host, then
+    # harvest <loc> entries ENTIRELY JVM-side — regexp_extract_all +
+    # explode, zero Python — so sitemap ingestion at crawl scale is a
+    # codegen'd scan, not a UDF stage.  The op round-trips build→parse;
+    # the oracle is the closed-form URL set, so any parse drift
+    # (truncation, entity handling, ordering) breaks the hash compare.
+    docs = load_table(spark, sf, "documents")
+    entry = F.concat(
+        F.lit("<url><loc>http://"),
+        F.col("source"),
+        F.lit(".test/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc></url>"),
+    )
+    sitemaps = docs.groupBy(F.col("source").alias("host")).agg(
+        F.concat(
+            F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+            F.array_join(F.array_sort(F.collect_list(entry)), ""),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    )
+    locs = F.regexp_extract_all("xml", F.lit("<loc>([^<]+)</loc>"), 1)
+    return sitemaps.select("host", F.explode(locs).alias("url"))
+
+
 # --------------------------------------------------------------------- B
 
 

@@ -279,3 +279,21 @@ def test_pivot_status_matches_long_format(spark):
     )
     for c in ["click", "error", "purchase", "signup", "view"]:
         assert (wide[c].sort_index() - long[c].sort_index()).abs().max() <= 1e-4
+
+
+def test_scan_sitemaps_roundtrip(spark):
+    # build->parse must round-trip to exactly the input URL set, one row
+    # per document, with no Python stage in the plan
+    from engine.io import load_table
+    from engine.ops import REGISTRY, _load_all
+
+    _load_all()
+    out = REGISTRY["scan_sitemaps"].fn(spark, SF)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    got = {(r["host"], r["url"]) for r in out.collect()}
+    docs = load_table(spark, SF, "documents").select("source", "doc_id").collect()
+    want = {
+        (r["source"], f"http://{r['source']}.test/d/{r['doc_id']}") for r in docs
+    }
+    assert got == want and len(got) == len(docs)
