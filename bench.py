@@ -62,6 +62,7 @@ HEADLINE = [
     "trap_guard",           # frontier-hygiene gate, pure codegen
     "redirect_resolve",     # pointer-doubling iterative self-join
     "pivot_status",         # explicit-values pivot, one shuffle
+    "link_rank",            # 3 PageRank power iterations
 ]
 
 

@@ -91,6 +91,7 @@ _FRONT = (
     "redirect_resolve",
     "pivot_status",
     "scan_sitemaps",
+    "link_rank",
     # -- round-1-green re-confirmations (the load-bearing plans)
     "seen_exact_verify",
     "bloom_build_shards",

@@ -351,6 +351,64 @@ def redirect_resolve(spark, sf):
     )
 
 
+@op(
+    "link_rank",
+    "WITH n AS (SELECT COUNT(*) AS n FROM documents), "
+    "e AS (SELECT doc_id AS src, doc_id % 100 AS dst FROM documents), "
+    "r0 AS (SELECT doc_id, 1.0 / (SELECT n FROM n) AS r FROM documents), "
+    "r1 AS (SELECT d.doc_id, 0.15 / (SELECT n FROM n) "
+    " + 0.85 * COALESCE(SUM(r0.r), 0) AS r "
+    " FROM documents d LEFT JOIN e ON e.dst = d.doc_id "
+    " LEFT JOIN r0 ON r0.doc_id = e.src GROUP BY d.doc_id), "
+    "r2 AS (SELECT d.doc_id, 0.15 / (SELECT n FROM n) "
+    " + 0.85 * COALESCE(SUM(r1.r), 0) AS r "
+    " FROM documents d LEFT JOIN e ON e.dst = d.doc_id "
+    " LEFT JOIN r1 ON r1.doc_id = e.src GROUP BY d.doc_id), "
+    "r3 AS (SELECT d.doc_id, 0.15 / (SELECT n FROM n) "
+    " + 0.85 * COALESCE(SUM(r2.r), 0) AS r "
+    " FROM documents d LEFT JOIN e ON e.dst = d.doc_id "
+    " LEFT JOIN r2 ON r2.doc_id = e.src GROUP BY d.doc_id) "
+    "SELECT doc_id, ROUND(r, 7) AS rank FROM r3",
+    "C",
+)
+def link_rank(spark, sf):
+    # Link-graph priority refresh (north_star: 'priority queue'): 3 fixed
+    # power iterations of PageRank (d=0.85) over the link graph, each
+    # iteration one aggregate-then-join round — the OPIC/PageRank signal
+    # real crawlers feed back into frontier priority.  Every join is
+    # equi-keyed on the node id, so at 10^10 nodes each iteration is one
+    # hash-partitioned shuffle reusing the same key partitioning (zero
+    # plan change per iteration); N arrives via a broadcast 1-row
+    # cross-join, not a driver collect.  Contribution = r/outdeg; the
+    # synthetic graph has outdeg 1 everywhere (each doc links to
+    # doc_id % 100), varied IN-degree, so the oracle is 3 chained SQL
+    # aggregation CTEs.
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    n1 = F.broadcast(docs.agg(F.count("*").alias("n")))
+    edges = docs.select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") % 100).alias("dst")
+    )
+    r = docs.crossJoin(n1).select("doc_id", (F.lit(1.0) / F.col("n")).alias("r"))
+    for _ in range(3):
+        contrib = (
+            edges.join(r, edges.src == r.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.sum("r").alias("in_r"))
+        )
+        r = (
+            docs.crossJoin(n1)
+            .join(contrib, "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85) * F.coalesce(F.col("in_r"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return r.select("doc_id", F.round("r", 7).alias("rank"))
+
+
 # --------------------------------------------------------------------- D
 
 

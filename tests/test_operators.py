@@ -297,3 +297,30 @@ def test_scan_sitemaps_roundtrip(spark):
         (r["source"], f"http://{r['source']}.test/d/{r['doc_id']}") for r in docs
     }
     assert got == want and len(got) == len(docs)
+
+
+def test_link_rank_matches_numpy_power_iteration(spark):
+    from engine.io import load_table
+    from engine.ops import REGISTRY, _load_all
+
+    _load_all()
+    out = REGISTRY["link_rank"].fn(spark, SF).toPandas().set_index("doc_id")
+    ids = sorted(
+        r["doc_id"]
+        for r in load_table(spark, SF, "documents").select("doc_id").collect()
+    )
+    n = len(ids)
+    pos = {d: i for i, d in enumerate(ids)}
+    r = np.full(n, 1.0 / n)
+    for _ in range(3):
+        nxt = np.full(n, 0.15 / n)
+        for d in ids:  # outdeg 1: full rank flows to doc_id % 100
+            tgt = d % 100
+            if tgt in pos:
+                nxt[pos[tgt]] += 0.85 * r[pos[d]]
+        r = nxt
+    want = pd.Series(r, index=ids)
+    got = out["rank"].sort_index()
+    assert np.abs(got - want.sort_index()).max() < 1e-6
+    # every target doc_id % 100 exists, so rank mass is conserved exactly
+    assert abs(got.sum() - 1.0) < 1e-6
