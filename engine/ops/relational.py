@@ -378,33 +378,34 @@ def link_rank(spark, sf):
     # real crawlers feed back into frontier priority.  Every join is
     # equi-keyed on the node id, so at 10^10 nodes each iteration is one
     # hash-partitioned shuffle reusing the same key partitioning (zero
-    # plan change per iteration); N arrives via a broadcast 1-row
-    # cross-join, not a driver collect.  Contribution = r/outdeg; the
+    # plan change per iteration); N arrives via a broadcast 1-row scalar
+    # cross-join (Spark's canonical scalar plan: BroadcastNestedLoopJoin
+    # over an IdentityBroadcastMode 1-row build — constant work however
+    # large the probe side), not a driver collect.  The plan test pins
+    # that EVERY nested loop in this plan is that scalar broadcast and
+    # all data-scale joins are hash/merge.  Contribution = r/outdeg; the
     # synthetic graph has outdeg 1 everywhere (each doc links to
     # doc_id % 100), varied IN-degree, so the oracle is 3 chained SQL
     # aggregation CTEs.
     docs = load_table(spark, sf, "documents").select("doc_id")
     n1 = F.broadcast(docs.agg(F.count("*").alias("n")))
+    docs_n = docs.crossJoin(n1)
     edges = docs.select(
         F.col("doc_id").alias("src"), (F.col("doc_id") % 100).alias("dst")
     )
-    r = docs.crossJoin(n1).select("doc_id", (F.lit(1.0) / F.col("n")).alias("r"))
+    r = docs_n.select("doc_id", (F.lit(1.0) / F.col("n")).alias("r"))
     for _ in range(3):
         contrib = (
             edges.join(r, edges.src == r.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.sum("r").alias("in_r"))
         )
-        r = (
-            docs.crossJoin(n1)
-            .join(contrib, "doc_id", "left")
-            .select(
-                "doc_id",
-                (
-                    F.lit(0.15) / F.col("n")
-                    + F.lit(0.85) * F.coalesce(F.col("in_r"), F.lit(0.0))
-                ).alias("r"),
-            )
+        r = docs_n.join(contrib, "doc_id", "left").select(
+            "doc_id",
+            (
+                F.lit(0.15) / F.col("n")
+                + F.lit(0.85) * F.coalesce(F.col("in_r"), F.lit(0.0))
+            ).alias("r"),
         )
     return r.select("doc_id", F.round("r", 7).alias("rank"))
 
@@ -491,9 +492,10 @@ def pivot_status(spark, sf):
     # explicitly: without them Spark runs an extra distinct-collect job to
     # discover them (a driver round-trip a 100-TB scan cannot afford) and
     # the output schema becomes data-dependent.  With explicit values the
-    # pivot is a single partial-aggregated hash aggregate — one shuffle,
-    # map-side combine — identical in cost to the unrolled conditional
-    # aggregation the oracle spells out.
+    # pivot plans as a two-level hash aggregation — partial-combined
+    # groupBy (cohort, event_type), then the pivot aggregate by cohort —
+    # so the second exchange carries only |cohorts| x |values| pre-
+    # aggregated rows, negligible at any input scale (plan-asserted).
     ev = load_table(spark, sf, "events")
     return (
         ev.groupBy((F.col("user_id") % 8).cast("int").alias("cohort"))

@@ -114,3 +114,37 @@ def test_politeness_window_uses_group_limit_pushdown(spark):
     )
     plan = _plan(select_top_b(df, 2, {}, salt=8))
     assert "WindowGroupLimit" in plan
+
+
+def test_round2_ops_plan_shapes(spark):
+    """The round-2 operators keep their designed physical shapes:
+    redirect_resolve's pointer-doubling self-joins and link_rank's
+    per-iteration joins are hash/merge equi-joins (never a nested loop),
+    and trap_guard / scan_sitemaps stay entirely JVM-side (no Python
+    evaluation stage anywhere)."""
+    from engine.ops import REGISTRY, _load_all
+
+    _load_all()
+    plan = _plan(REGISTRY["redirect_resolve"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+    # link_rank: the ONLY nested loops are the broadcast 1-row scalar-N
+    # joins (IdentityBroadcastMode build = the count aggregate); every
+    # data-scale join (edge contribution, rank update) is hash/merge
+    plan = _plan(REGISTRY["link_rank"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+    assert plan.count("BroadcastNestedLoopJoin") == plan.count(
+        "IdentityBroadcastMode"
+    )
+    for name in ("trap_guard", "scan_sitemaps", "pivot_status"):
+        plan = _plan(REGISTRY[name].fn(spark, SF_DIR))
+        assert "EvalPython" not in plan, name
+    # pivot with explicit values: two-level aggregation — one exchange on
+    # (cohort, event_type) after map-side partial aggregation, then one
+    # tiny exchange of |cohorts| x |values| pre-aggregated rows for the
+    # pivot aggregate.  No third job discovering pivot values.
+    plan = _plan(REGISTRY["pivot_status"].fn(spark, SF_DIR))
+    assert plan.count("Exchange") == 2
+    assert plan.count("HashAggregate") == 4  # two partial+final pairs
