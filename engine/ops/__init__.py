@@ -92,6 +92,7 @@ _FRONT = (
     "pivot_status",
     "scan_sitemaps",
     "link_rank",
+    "split_train_val",
     # -- round-1-green re-confirmations (the load-bearing plans)
     "seen_exact_verify",
     "bloom_build_shards",

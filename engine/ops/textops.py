@@ -405,3 +405,30 @@ def doc_fingerprint_op(spark, sf):
         "doc_id",
         F.posexplode(_fingerprint_udf("text")).alias("pos", "fp"),
     )
+
+
+@op(
+    "split_train_val",
+    "SELECT doc_id, CASE WHEN substr(sha256(text), 1, 2) < 'cc' THEN 'train' "
+    "WHEN substr(sha256(text), 1, 2) < 'e6' THEN 'val' ELSE 'test' END AS split "
+    "FROM documents",
+    "K",
+)
+def split_train_val(spark, sf):
+    # Deterministic content-keyed train/val/test split (~80/10/10 by the
+    # first sha256 byte: 0x00-0xcb / 0xcc-0xe5 / 0xe6-0xff).  The
+    # reproducible-at-100-TB alternative to rand()/sampleBy: assignment is
+    # a pure function of content, so it survives re-partitioning, re-runs,
+    # cluster resizes, and incremental ingestion with ZERO coordination,
+    # and duplicate texts always co-locate in one split (no train/test
+    # leakage through near-copies of the same bytes).  Lowercase-hex
+    # string comparison == numeric byte comparison, so Spark sha2 and
+    # DuckDB sha256 agree exactly.
+    docs = load_table(spark, sf, "documents")
+    b = F.substring(F.sha2(F.col("text"), 256), 1, 2)
+    return docs.select(
+        "doc_id",
+        F.when(b < "cc", "train").when(b < "e6", "val").otherwise("test").alias(
+            "split"
+        ),
+    )

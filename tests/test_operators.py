@@ -324,3 +324,23 @@ def test_link_rank_matches_numpy_power_iteration(spark):
     assert np.abs(got - want.sort_index()).max() < 1e-6
     # every target doc_id % 100 exists, so rank mass is conserved exactly
     assert abs(got.sum() - 1.0) < 1e-6
+
+
+def test_split_train_val_deterministic_and_sized(spark):
+    from engine.ops import REGISTRY, _load_all
+
+    _load_all()
+    a = REGISTRY["split_train_val"].fn(spark, SF).toPandas().set_index("doc_id")
+    # re-running (fresh plan, different partitioning) must assign
+    # identically — the whole point vs rand()/sampleBy
+    b = (
+        REGISTRY["split_train_val"]
+        .fn(spark, SF)
+        .repartition(7)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert (a["split"].sort_index() == b["split"].sort_index()).all()
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.7 < frac.get("train", 0) < 0.9
+    assert frac.get("val", 0) < 0.2 and frac.get("test", 0) < 0.2
