@@ -93,6 +93,7 @@ _FRONT = (
     "scan_sitemaps",
     "link_rank",
     "split_train_val",
+    "dedup_clusters",
     # -- round-1-green re-confirmations (the load-bearing plans)
     "seen_exact_verify",
     "bloom_build_shards",

@@ -432,3 +432,64 @@ def split_train_val(spark, sf):
             "split"
         ),
     )
+
+
+def label_propagate(nodes, edges, rounds: int):
+    """Connected-component labels by symmetric min-label propagation:
+    each round every node takes min(own label, neighbours' labels) — one
+    equi-join + groupBy(min) per round, correct whenever rounds >= graph
+    diameter.  Near-dup pair graphs are near-cliques (tiny diameter), so
+    a small fixed round count suffices; pathological high-diameter graphs
+    at 10^10 scale want star-contraction (Kiveris et al., alternating
+    large-star/small-star) which halves diameter per round — same join
+    primitive, noted here as the escalation path.
+
+    ``nodes``: DataFrame(id); ``edges``: DataFrame(src, dst), undirected
+    (symmetrized internally).  Returns DataFrame(id, cluster_id).
+    """
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    lab = nodes.select("id", F.col("id").alias("cluster_id"))
+    for _ in range(rounds):
+        neigh = (
+            sym.join(lab, sym.dst == lab.id)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("cluster_id").alias("n_min"))
+        )
+        lab = lab.join(neigh, "id", "left").select(
+            "id",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+    return lab
+
+
+@op(
+    "dedup_clusters",
+    "SELECT doc_id, doc_id - doc_id % 10 AS cluster_id, "
+    "doc_id % 10 = 0 AS keep FROM documents",
+    "K",
+)
+def dedup_clusters(spark, sf):
+    # The dedup ENDGAME: pairwise near-dup matches only say "a ~ b"; what
+    # a pipeline drops is per-CLUSTER (transitive closure of matches),
+    # keeping one canonical doc per component.  Components via
+    # label_propagate over the pair graph; survivor = the cluster-min id
+    # (same min-survivor convention as dedup_exact).  The synthetic pair
+    # graph chains each decade block (doc_id ~ doc_id-1 unless %10==0):
+    # diameter 9, so 10 rounds are provably enough, and the closed-form
+    # oracle is cluster_id = doc_id - doc_id%10.
+    docs = load_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    edges = docs.filter(F.col("id") % 10 != 0).select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    )
+    lab = label_propagate(docs, edges, rounds=10)
+    return lab.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("keep"),
+    )

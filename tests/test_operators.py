@@ -344,3 +344,38 @@ def test_split_train_val_deterministic_and_sized(spark):
     frac = a["split"].value_counts(normalize=True)
     assert 0.7 < frac.get("train", 0) < 0.9
     assert frac.get("val", 0) < 0.2 and frac.get("test", 0) < 0.2
+
+
+def test_label_propagate_matches_union_find_on_adversarial_graph(spark):
+    # V-shapes, cross-links, singletons — shapes where a one-shot
+    # min-neighbour parent assignment goes wrong but symmetric label
+    # propagation (rounds >= diameter) must not
+    from engine.ops.textops import label_propagate
+
+    edge_list = [(5, 1), (5, 9), (2, 7), (7, 3), (3, 2), (11, 12)]
+    node_ids = list(range(14))
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id long")
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in label_propagate(nodes, edges, rounds=5).collect()
+    }
+
+    parent = {i: i for i in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for i in node_ids:
+        r = find(i)
+        comp.setdefault(r, []).append(i)
+    want = {i: min(comp[find(i)]) for i in node_ids}
+    assert got == want
