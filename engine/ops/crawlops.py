@@ -125,6 +125,26 @@ def snapshot_overwrite(spark, sf):
     return store.read(spark, "frontier", 1)  # replaced: 3 rows
 
 
+@op(
+    "snapshot_diff",
+    "SELECT range AS round FROM range(5, 12)",
+    "A",
+)
+def snapshot_diff(spark, sf):
+    # Iceberg-style incremental read: exactly the rows appended in
+    # (snapshot 0, snapshot 2] — three commits land [0,5), [5,9), [9,12);
+    # the diff is [5,12).  The scan touches only the two delta layers
+    # (O(delta), not O(history)); the oracle is the closed form.
+    from engine.snapstore import SnapStore
+
+    store = SnapStore(tempfile.mkdtemp(prefix="snapop_"))
+    for i, (lo, hi) in enumerate([(0, 5), (5, 9), (9, 12)]):
+        store.commit_state(
+            i, {"lineage": spark.range(lo, hi).select(F.col("id").alias("round"))}
+        )
+    return store.read_incremental(spark, "lineage", 0, 2)
+
+
 @op("time_travel_read", None, "A")
 def time_travel_read(spark, sf):
     from engine.snapstore import SnapStore

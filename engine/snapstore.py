@@ -148,6 +148,33 @@ class SnapStore:
                 return spark.read.parquet(os.path.join(self.data_dir, rel))
         raise FileNotFoundError(f"{table}: not present at snapshot {sid}")
 
+    def read_incremental(
+        self, spark: SparkSession, table: str, from_sid: int, to_sid: int
+    ) -> DataFrame:
+        """Incremental consumption of an append table: exactly the rows
+        appended by snapshots in (from_sid, to_sid] — the local analog of
+        Iceberg's incremental read (`start-snapshot-id`/`end-snapshot-id`).
+
+        This is how a downstream consumer (indexer, dedup refresh, metrics
+        exporter) tails the crawl without re-reading the whole table: each
+        appended layer is a separate parquet dir, so the scan touches ONLY
+        the delta files — O(delta), not O(history), no filter, no shuffle.
+        Replace-table semantics have no row-level delta without diffing, so
+        asking for one is a caller bug, not a fallback.
+        """
+        if table not in APPEND_TABLES:
+            raise ValueError(f"{table}: incremental read needs an append table")
+        paths = []
+        for s in self.snapshot_ids():
+            if from_sid < s <= to_sid:
+                rel = self.manifest(s)["tables"].get(table)
+                if rel:
+                    paths.append(os.path.join(self.data_dir, rel))
+        if not paths:
+            # nothing appended in the window: empty frame, schema preserved
+            return self.read(spark, table, to_sid).limit(0)
+        return spark.read.parquet(*paths)
+
     def gc_orphans(self) -> list[str]:
         """Remove data dirs not referenced by any manifest (§3.4)."""
         live = set()

@@ -379,3 +379,81 @@ def test_label_propagate_matches_union_find_on_adversarial_graph(spark):
         comp.setdefault(r, []).append(i)
     want = {i: min(comp[find(i)]) for i in node_ids}
     assert got == want
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from engine.ops import REGISTRY, _load_all
+
+    _load_all()
+    out = REGISTRY["pii_scrub"].fn(spark, SF).toPandas()
+    # every doc had exactly one email + one phone injected; both gone
+    assert (out["n_emails"] == 1).all()
+    assert (out["n_phones"] == 1).all()
+    assert out["scrubbed"].str.contains("<EMAIL>").all()
+    assert out["scrubbed"].str.contains("<PHONE>").all()
+    assert not out["scrubbed"].str.contains("@example.com").any()
+    assert not out["scrubbed"].str.contains(r"\+1-", regex=True).any()
+
+
+def test_repetition_filter_matches_python_counts(spark):
+    from collections import Counter
+
+    from engine.ops import REGISTRY, _load_all
+
+    _load_all()
+    out = (
+        REGISTRY["repetition_filter"].fn(spark, SF).toPandas().set_index("doc_id")
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    for _, row in docs.head(50).iterrows():
+        c = Counter(row["text"].split(" "))
+        got = out.loc[row["doc_id"]]
+        assert got["n_words"] == sum(c.values())
+        assert got["n_distinct"] == len(c)
+        assert got["top_freq"] == max(c.values())
+        assert got["top_ratio_bp"] == max(c.values()) * 10000 // sum(c.values())
+        assert got["keep"] == (max(c.values()) * 10000 <= 2000 * sum(c.values()))
+
+
+def test_stratified_sample_deterministic_rates(spark):
+    from engine.ops import REGISTRY, _load_all
+
+    _load_all()
+    a = REGISTRY["stratified_sample"].fn(spark, SF).toPandas()
+    b = (
+        REGISTRY["stratified_sample"]
+        .fn(spark, SF)
+        .repartition(5)
+        .toPandas()
+    )
+    # content-keyed: identical survivor set under re-partitioning
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    tot = docs["lang"].value_counts()
+    kept = a["lang"].value_counts()
+    # en ~25%, zh ~50%, rest 100% (loose bounds: sf0.001 strata are small)
+    assert kept.get("en", 0) / tot["en"] < 0.6
+    if "zh" in tot and tot["zh"] >= 10:
+        assert 0.15 < kept.get("zh", 0) / tot["zh"] < 0.85
+    for lng in tot.index.difference(["en", "zh"]):
+        assert kept.get(lng, 0) == tot[lng]
+
+
+def test_snapshot_diff_incremental_read(spark, tmp_path):
+    from engine.snapstore import SnapStore
+
+    store = SnapStore(str(tmp_path / "snap"))
+    for i, (lo, hi) in enumerate([(0, 5), (5, 9), (9, 12), (12, 20)]):
+        store.commit_state(
+            i, {"lineage": spark.range(lo, hi).select(F.col("id").alias("round"))}
+        )
+    inc = store.read_incremental(spark, "lineage", 1, 3)
+    assert sorted(r["round"] for r in inc.collect()) == list(range(9, 20))
+    # empty window keeps the schema, yields zero rows
+    empty = store.read_incremental(spark, "lineage", 3, 3)
+    assert empty.columns == ["round"] and empty.count() == 0
+    # O(delta) scan: the plan must read ONLY the two delta layers
+    files = inc.inputFiles()
+    assert all("s=000002" in f or "s=000003" in f for f in files)
+    with pytest.raises(ValueError):
+        store.read_incremental(spark, "frontier", 0, 1)
