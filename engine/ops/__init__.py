@@ -98,6 +98,7 @@ _FRONT = (
     "repetition_filter",
     "stratified_sample",
     "snapshot_diff",
+    "connected_components",
     # -- round-1-green re-confirmations (the load-bearing plans)
     "seen_exact_verify",
     "bloom_build_shards",

@@ -501,6 +501,31 @@ def dedup_clusters(spark, sf):
     )
 
 
+@op(
+    "connected_components",
+    "SELECT doc_id, doc_id - doc_id % 100 AS cluster_id FROM documents",
+    "K",
+)
+def connected_components_op(spark, sf):
+    # Star-contraction CC (engine/graph.py) — the O(log diameter)
+    # escalation over label_propagate's O(diameter).  The synthetic pair
+    # graph chains each century block (doc_id ~ doc_id-1 unless %100==0):
+    # DIAMETER 99, where fixed-round propagation is hopeless but
+    # large-star/small-star converges in a handful of alternations
+    # (fixpoint-detected, one tiny agg action per round).  Closed-form
+    # oracle: cluster_id = doc_id - doc_id%100.
+    from engine.graph import connected_components
+
+    docs = load_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    edges = docs.filter(F.col("id") % 100 != 0).select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    )
+    lab = connected_components(docs, edges)
+    return lab.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 # ------------------------------------------------- pipeline hygiene ops
 
 # PII patterns kept to the Java-regex ∩ RE2 dialect intersection (char

@@ -457,3 +457,41 @@ def test_snapshot_diff_incremental_read(spark, tmp_path):
     assert all("s=000002" in f or "s=000003" in f for f in files)
     with pytest.raises(ValueError):
         store.read_incremental(spark, "frontier", 0, 1)
+
+
+def test_star_contraction_matches_union_find(spark):
+    # random graph + long path (diameter ~ n, the case fixed-round label
+    # propagation cannot do) vs a driver-side union-find ground truth
+    import random
+
+    from engine.graph import connected_components
+
+    rng = random.Random(7)
+    n = 120
+    edge_list = [(rng.randrange(n), rng.randrange(n)) for _ in range(60)]
+    edge_list += [(i, i + 1) for i in range(80, 119)]  # 40-hop path
+    node_ids = list(range(n))
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id long")
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(nodes, edges).collect()
+    }
+
+    parent = {i: i for i in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for i in node_ids:
+        comp.setdefault(find(i), []).append(i)
+    want = {i: min(comp[find(i)]) for i in node_ids}
+    assert got == want
