@@ -148,3 +148,50 @@ def test_round2_ops_plan_shapes(spark):
     plan = _plan(REGISTRY["pivot_status"].fn(spark, SF_DIR))
     assert plan.count("Exchange") == 2
     assert plan.count("HashAggregate") == 4  # two partial+final pairs
+
+
+def test_bucketed_seen_join_is_exchange_free(spark, tmp_path):
+    """The cluster-scale seen-set story (SURVEY.md §4): persist `seen` and
+    the frontier delta BUCKETED by url_hash (the Iceberg bucket-transform
+    analog), and the per-round anti-join needs NO exchange on either side
+    — the join is storage-partitioned.  At 10^10 urls this turns the one
+    remaining wire shuffle of the dedup core into a local merge."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.xxhash64("text").alias("url_hash"), "doc_id"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # trusting the per-bucket sortBy order needs the (off-by-default since
+    # 3.0) outputOrdering flag AND exactly one file per bucket
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try:
+        for name, df in [
+            ("seen_b", docs.filter(F.col("doc_id") % 3 == 0)),
+            ("frontier_b", docs),
+        ]:
+            # repartition by the bucket key into numBuckets partitions:
+            # repartition and bucketBy share Murmur3(key) % n, so each
+            # task writes exactly one bucket → one file per bucket, which
+            # is what lets the scan trust the on-disk sort order
+            df.repartition(8, "url_hash").write.bucketBy(8, "url_hash").sortBy(
+                "url_hash"
+            ).option("path", str(tmp_path / name)).mode("overwrite").saveAsTable(
+                name
+            )
+        anti = spark.table("frontier_b").join(
+            spark.table("seen_b"), "url_hash", "left_anti"
+        )
+        plan = _plan(anti)
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan
+        assert "Exchange" not in plan, plan
+        # one file per bucket + sortBy ⇒ the merge needs no re-sort either
+        assert "Sort " not in plan, plan
+        n_unseen = anti.count()
+        n_expect = docs.filter(F.col("doc_id") % 3 != 0).count()
+        assert n_unseen == n_expect
+    finally:
+        spark.sql("DROP TABLE IF EXISTS seen_b")
+        spark.sql("DROP TABLE IF EXISTS frontier_b")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
