@@ -48,7 +48,7 @@ def op(name: str, oracle: str | None, group: str):
 
 # The driver's per-round CORRECTNESS check walks queries() in iteration
 # order and has a bounded row budget (round 1 recorded exactly the first
-# 50 entries).  With 87 registered ops, the front of the iteration order is
+# 50 entries).  With 88 registered ops, the front of the iteration order is
 # an explicit priority window: every op that has NEVER received a driver
 # row (round 1 stopped at 50) comes first — oracled ones ahead of
 # rows-only — followed by the highest-value round-1-green ops for
