@@ -99,6 +99,11 @@ _FRONT = (
     "stratified_sample",
     "snapshot_diff",
     "connected_components",
+    # -- round-1 rows-only, NOW oracled (hash check never recorded)
+    "scan_seeds",
+    "snapshot_append",
+    "snapshot_overwrite",
+    "time_travel_read",
     # -- round-1-green re-confirmations (the load-bearing plans)
     "seen_exact_verify",
     "bloom_build_shards",

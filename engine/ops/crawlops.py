@@ -73,7 +73,27 @@ def extract_links_op(spark, sf):
     )
 
 
-@op("scan_seeds", None, "A")
+_SCAN_SEEDS_SQL = (
+    # closed-form oracle: the XS seed list is pinned fixture config; the
+    # canonical urls are golden under the pinned canon rules (lowercase,
+    # strip :80, drop fragment) and the hash is INDEPENDENTLY recomputed —
+    # DuckDB sha256 + hex→uint64→int64 two's-complement, the exact
+    # engine.pure.hash64 definition (first 8 bytes, big-endian signed)
+    "WITH s(url, priority) AS (VALUES "
+    "('http://h0.example.test/p/0', 100), "
+    "('http://h1.example.test/p/0', 99), "
+    "('http://h2.example.test/p/0', 98), "
+    "('http://h3.example.test/p/0', 97)), "
+    "h AS (SELECT url, priority, "
+    "('0x' || substr(sha256(url), 1, 16))::UBIGINT::HUGEINT AS u FROM s) "
+    "SELECT CAST(CASE WHEN u >= 9223372036854775808::HUGEINT "
+    "THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS url_hash, "
+    "url, split_part(url, '/', 3) AS host, priority, 0 AS depth, "
+    "0 AS discovered_round, '' AS src_url FROM h"
+)
+
+
+@op("scan_seeds", _SCAN_SEEDS_SQL, "A")
 def scan_seeds(spark, sf):
     from engine.frontier import frontier_from_seeds
     from fixtures.gen import gen_corpus
@@ -83,7 +103,17 @@ def scan_seeds(spark, sf):
     return frontier_from_seeds(seeds)
 
 
-@op("scan_robots", None, "A")
+@op(
+    "scan_robots",
+    # the XS robots config restated as closed-form expected rows
+    "SELECT * FROM (VALUES "
+    "('h0.example.test', '/private/', 1), "
+    "('h1.example.test', '/p/3|/private/', 2), "
+    "('h2.example.test', '/private/', 1), "
+    "('h3.example.test', '/private/', 1)"
+    ") t(host, disallow_rules, n_rules)",
+    "A",
+)
 def scan_robots(spark, sf):
     # output projected to scalar columns: the driver's rows-only hasher
     # sorts values with pandas, which cannot factorize list cells — the
@@ -102,7 +132,7 @@ def scan_robots(spark, sf):
     )
 
 
-@op("snapshot_append", None, "A")
+@op("snapshot_append", "SELECT range AS round FROM range(0, 8)", "A")
 def snapshot_append(spark, sf):
     # append-table semantics: two commits, read sees the union
     from engine.snapstore import SnapStore
@@ -115,7 +145,7 @@ def snapshot_append(spark, sf):
     return store.read(spark, "lineage", 1)
 
 
-@op("snapshot_overwrite", None, "A")
+@op("snapshot_overwrite", "SELECT range AS url_hash FROM range(0, 3)", "A")
 def snapshot_overwrite(spark, sf):
     from engine.snapstore import SnapStore
 
@@ -145,7 +175,7 @@ def snapshot_diff(spark, sf):
     return store.read_incremental(spark, "lineage", 0, 2)
 
 
-@op("time_travel_read", None, "A")
+@op("time_travel_read", "SELECT range AS url_hash FROM range(0, 10)", "A")
 def time_travel_read(spark, sf):
     from engine.snapstore import SnapStore
 
