@@ -63,6 +63,9 @@ HEADLINE = [
     "redirect_resolve",     # pointer-doubling iterative self-join
     "pivot_status",         # explicit-values pivot, one shuffle
     "link_rank",            # 3 PageRank power iterations
+    "tfidf_top_terms",      # explode → one-shuffle vocab agg → window top-k
+    "contamination_ngrams",  # broadcast-pruned n-gram probe scan
+    "dedup_incremental",    # O(batch) anti-join vs history + batch dedup
 ]
 
 

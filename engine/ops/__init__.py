@@ -48,7 +48,7 @@ def op(name: str, oracle: str | None, group: str):
 
 # The driver's per-round CORRECTNESS check walks queries() in iteration
 # order and has a bounded row budget (round 1 recorded exactly the first
-# 50 entries).  With 88 registered ops, the front of the iteration order is
+# 50 entries).  With 92 registered ops, the front of the iteration order is
 # an explicit priority window: every op that has NEVER received a driver
 # row (round 1 stopped at 50) comes first — oracled ones ahead of
 # rows-only — followed by the highest-value round-1-green ops for
@@ -99,6 +99,10 @@ _FRONT = (
     "stratified_sample",
     "snapshot_diff",
     "connected_components",
+    "tfidf_top_terms",
+    "contamination_ngrams",
+    "sink_bucketed_seen",
+    "dedup_incremental",
     # -- round-1 rows-only, NOW oracled (hash check never recorded)
     "scan_seeds",
     "snapshot_append",

@@ -214,3 +214,40 @@ def crawl_round(spark, sf):
     )
     run_round(spark, store, 0, pages_index(pages), robots, cfg, 0)
     return store.read(spark, "lineage", 1)
+
+
+@op(
+    "sink_bucketed_seen",
+    # round-trip fidelity oracle: what was written bucketed must read back
+    # as exactly the source projection (the LAYOUT property — bucketed
+    # scan joins with zero exchange — is plan-asserted in
+    # tests/test_plans.py::test_bucketed_seen_join_is_exchange_free)
+    "SELECT substr(sha256(text), 1, 16) AS url_h, doc_id FROM documents",
+    "A",
+)
+def sink_bucketed_seen(spark, sf):
+    # The 10^10 seen-set layout (SURVEY.md §4) as a user-facing sink op:
+    # persist the seen table BUCKETED by the url-hash key (the Iceberg
+    # bucket-transform analog), one file per bucket (repartition and
+    # bucketBy share Murmur3(key) % n, so each task writes exactly its
+    # bucket), per-bucket sorted — the layout that turns every later
+    # anti-join/equi-join on the key into a storage-partitioned local
+    # merge with no wire shuffle.
+    import tempfile
+
+    from engine.io import load_table
+
+    seen = load_table(spark, sf, "documents").select(
+        F.substring(F.sha2("text", 256), 1, 16).alias("url_h"), "doc_id"
+    )
+    path = tempfile.mkdtemp(prefix="sink_bucketed_seen_")
+    spark.sql("DROP TABLE IF EXISTS sink_seen_bucketed")
+    (
+        seen.repartition(8, "url_h")
+        .write.bucketBy(8, "url_h")
+        .sortBy("url_h")
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable("sink_seen_bucketed")
+    )
+    return spark.table("sink_seen_bucketed").select("url_h", "doc_id")

@@ -645,3 +645,182 @@ def stratified_sample(spark, sf):
         .otherwise("zz")
     )
     return docs.filter(h < thr).select("doc_id", "lang")
+
+
+_TFIDF_SQL = (
+    # same tokenization as repetition_filter (split on single space — the
+    # fixture corpus is single-spaced); score rounded to 4 decimals on
+    # BOTH sides per the registry determinism rules, and the top-k window
+    # orders by the ROUNDED score with term as the unique tie-break
+    "WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term "
+    "FROM documents), "
+    "per AS (SELECT term, lang, count(*) AS tf, "
+    "count(DISTINCT doc_id) AS df_l FROM tok GROUP BY term, lang), "
+    "tot AS (SELECT count(*) AS n_total FROM documents), "
+    "sc AS (SELECT lang, term, tf, "
+    "sum(df_l) OVER (PARTITION BY term) AS df, "
+    "round(tf * ln(CAST(n_total AS DOUBLE) / sum(df_l) OVER (PARTITION BY term)), 4) "
+    "AS score FROM per, tot) "
+    "SELECT lang, term, tf, df, score, rnk FROM "
+    "(SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) "
+    "AS rnk FROM sc) WHERE rnk <= 5"
+)
+
+
+@op("tfidf_top_terms", _TFIDF_SQL, "K")
+def tfidf_top_terms(spark, sf):
+    # Corpus vocabulary profile: top-5 terms per language by tf-idf —
+    # the "what is this slice of the corpus about" report every webtext
+    # pipeline runs before/after filtering.  Scale shape: the raw token
+    # stream is exploded ONCE and collapsed by groupBy(term, lang) with
+    # map-side partial aggregation, so only vocab-sized rows (not the
+    # token stream) reach the wire; document frequency per term is then a
+    # window SUM over that aggregate (a doc has exactly one lang, so
+    # distinct-docs-per-term = sum of per-lang distinct counts — no second
+    # pass over the tokens); the corpus size N arrives via the canonical
+    # broadcast 1-row scalar cross-join (no driver collect, same idiom as
+    # link_rank); the final per-lang top-5 windows over rows that number
+    # in the vocabulary, not the corpus.
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    )
+    per = toks.groupBy("term", "lang").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df_l"),
+    )
+    n1 = F.broadcast(docs.agg(F.count("*").alias("n_total")))
+    from pyspark.sql import Window
+
+    w_term = Window.partitionBy("term")
+    sc = (
+        per.crossJoin(n1)
+        .withColumn("df", F.sum("df_l").over(w_term))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_total").cast("double") / F.col("df")),
+                4,
+            ),
+        )
+    )
+    w_lang = Window.partitionBy("lang").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        sc.withColumn("rnk", F.row_number().over(w_lang))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "term", "tf", "df", "score", "rnk")
+    )
+
+
+# Pinned probe set for the benchmark-contamination check: bigrams that DO
+# occur in the synthetic corpus (hot collocations) plus two that cannot
+# (zero-hit rows prove the left-join/coalesce path).
+_PROBES = (
+    "table hash",
+    "merge group",
+    "customer join",
+    "slow key",
+    "held out",
+    "benchmark answer",
+)
+
+_CONTAMINATION_SQL = (
+    "WITH p(probe) AS (VALUES "
+    + ", ".join(f"('{b}')" for b in _PROBES)
+    + "), t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+    "g AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), "
+    "i -> w[i] || ' ' || w[i+1])) AS bg FROM t), "
+    "hit AS (SELECT bg, count(DISTINCT doc_id) AS n_docs, count(*) AS n_hits "
+    "FROM g JOIN p ON g.bg = p.probe GROUP BY bg) "
+    "SELECT p.probe, coalesce(hit.n_docs, 0) AS n_docs, "
+    "coalesce(hit.n_hits, 0) AS n_hits FROM p LEFT JOIN hit ON p.probe = hit.bg"
+)
+
+
+@op("contamination_ngrams", _CONTAMINATION_SQL, "K")
+def contamination_ngrams(spark, sf):
+    # Benchmark-contamination scan: how many documents contain each probe
+    # n-gram (eval-set leakage check — a training-data pipeline must run
+    # this before every release).  Scale shape: per-doc bigrams are built
+    # JVM-side (transform over sequence — no Python anywhere), the exploded
+    # n-gram stream is pruned IMMEDIATELY by a broadcast hash join against
+    # the tiny probe set (the stream never reaches an exchange; only hits
+    # — vanishingly rare at 100 TB — are aggregated), and zero-hit probes
+    # are restored by a final broadcast left join.  With k probes this is
+    # one scan + two broadcasts however large the corpus.
+    docs = load_table(spark, sf, "documents")
+    probes = spark.createDataFrame(
+        [(b,) for b in _PROBES], "probe string"
+    )
+    grams = docs.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) >= 2 THEN "
+                "transform(sequence(0, size(w) - 2), "
+                "i -> concat(w[i], ' ', w[i + 1])) "
+                "ELSE array() END"
+            )
+        ).alias("bg"),
+    )
+    hits = (
+        grams.join(F.broadcast(probes), grams.bg == probes.probe)
+        .groupBy("probe")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_hits"),
+        )
+    )
+    return probes.join(F.broadcast(hits), "probe", "left").select(
+        "probe",
+        F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+    )
+
+
+_DEDUP_INCR_SQL = (
+    # history = doc_id < 250 (pinned batch boundary at sf0.01's 500 docs —
+    # the op derives it from max(doc_id)/2 on both sides so it scales with
+    # sf); a new doc survives iff its exact content key has never been
+    # seen in history AND it is the min-doc_id holder within the batch
+    "WITH bound AS (SELECT (max(doc_id) + 1) // 2 AS b FROM documents), "
+    "hist AS (SELECT DISTINCT sha256(text) AS k FROM documents, bound "
+    "WHERE doc_id < b), "
+    "batch AS (SELECT doc_id, sha256(text) AS k FROM documents, bound "
+    "WHERE doc_id >= b), "
+    "fresh AS (SELECT doc_id, k FROM batch WHERE k NOT IN (SELECT k FROM hist)) "
+    "SELECT min(doc_id) AS keep_doc_id, count(*) AS n_batch_dups "
+    "FROM fresh GROUP BY k"
+)
+
+
+@op("dedup_incremental", _DEDUP_INCR_SQL, "K")
+def dedup_incremental(spark, sf):
+    # Incremental ingestion dedup: each new batch is deduped against the
+    # HISTORICAL corpus in O(batch), never O(history) — the shape that
+    # keeps a 100-TB pipeline's daily ingest constant-cost.  Two stages:
+    # (1) anti-join the batch's content keys against history (on a
+    # cluster, history lives bucketed/bloom-sharded by key — SURVEY.md §4
+    # — so this is a storage-partitioned join with no history-side
+    # shuffle; here both sides come off the same scan); (2) exact dedup
+    # WITHIN the batch by groupBy(key) + min-survivor (never
+    # dropDuplicates — nondeterministic under re-partitioning).
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.sha2("text", 256).alias("k")
+    )
+    bound = F.broadcast(
+        docs.agg(((F.max("doc_id") + 1) / 2).cast("long").alias("b"))
+    )
+    keyed = docs.crossJoin(bound)
+    hist = keyed.filter(F.col("doc_id") < F.col("b")).select("k")
+    batch = keyed.filter(F.col("doc_id") >= F.col("b")).select("doc_id", "k")
+    fresh = batch.join(hist, "k", "left_anti")
+    return fresh.groupBy("k").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_batch_dups"),
+    ).select("keep_doc_id", "n_batch_dups")

@@ -69,11 +69,25 @@ def test_bloom_shards_no_false_negatives_across_buckets():
 @given(_keys)
 @settings(max_examples=30, deadline=None)
 def test_cuckoo_insert_contains(keys):
+    # Raw-shard contract: insert may legally REFUSE (tiny tables degenerate
+    # — with few buckets the partial-key alt bucket i ^ H(fp)&mask can
+    # equal i, halving a key's slots; hypothesis found 9 keys / 4 buckets
+    # refusing below nominal load).  What must hold unconditionally is
+    # no-false-negative: every key whose insert returned True reads back
+    # as present.
     shard = CuckooShard(max(len(keys), 8))
-    ok = all(shard.insert(k & 0xFFFFFFFFFFFFFFFF) for k in keys)
-    assert ok  # sized for the load → inserts must all land
+    landed = [k for k in keys if shard.insert(k & 0xFFFFFFFFFFFFFFFF)]
+    if landed:
+        assert shard.contains_batch(np.asarray(landed, dtype=np.int64)).all()
+    # Engine-path contract: the production builder resizes on refusal
+    # (engine/filters.py _cuckoo_build, SURVEY.md §7.3 risk 4), so ALL
+    # keys always land and read back.
     if keys:
-        assert shard.contains_batch(np.asarray(keys, dtype=np.int64)).all()
+        from engine.filters import _cuckoo_build
+
+        arr = np.asarray(keys, dtype=np.int64)
+        built = _cuckoo_build(arr)
+        assert built.contains_batch(arr).all()
 
 
 def test_cuckoo_delete_removes():

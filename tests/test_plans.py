@@ -195,3 +195,54 @@ def test_bucketed_seen_join_is_exchange_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS frontier_b")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+
+
+def test_text_analysis_ops_plan_shapes(spark):
+    """tfidf_top_terms: the exploded token stream collapses through ONE
+    partially-aggregated exchange (groupBy term,lang); the scalar corpus-N
+    arrives as the canonical 1-row broadcast (every nested loop is that
+    IdentityBroadcastMode build); no Python evaluation anywhere.
+    contamination_ngrams: the exploded n-gram stream is pruned by a
+    BroadcastHashJoin BEFORE any exchange — the only aggregation exchange
+    carries hit rows, and no nested-loop/cartesian join exists at all."""
+    from engine.ops import REGISTRY, _load_all
+
+    _load_all()
+    plan = _plan(REGISTRY["tfidf_top_terms"].fn(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == plan.count(
+        "IdentityBroadcastMode"
+    )
+    # token stream → vocab: partial + final pair on (term, lang)
+    assert "HashAggregate" in plan
+
+    plan = _plan(REGISTRY["contamination_ngrams"].fn(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") == 2  # probe prune + zero-restore
+    # the probe-prune broadcast join sits BELOW the first exchange: the
+    # explode side reaches the join without shuffling
+    first_bhj = plan.index("BroadcastHashJoin")
+    assert "Generate explode" in plan  # JVM-side n-gram generation
+    assert "Exchange" not in plan[:first_bhj].split("AdaptiveSparkPlan")[-1]
+
+
+def test_dedup_incremental_plan_shape(spark):
+    """The batch-vs-history anti-join is a hash/merge equi-join on the
+    content key; the ONLY nested loops are the broadcast 1-row batch
+    boundary (IdentityBroadcastMode); everything stays JVM-side."""
+    from engine.ops import REGISTRY, _load_all
+
+    _load_all()
+    plan = _plan(REGISTRY["dedup_incremental"].fn(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+    assert plan.count("BroadcastNestedLoopJoin") == plan.count(
+        "IdentityBroadcastMode"
+    )
