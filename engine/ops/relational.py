@@ -12,6 +12,7 @@ from pyspark.sql import Window, functions as F
 
 from engine.io import load_table
 from engine.ops import op
+from engine.ops.goldens import golden_oracle as _golden
 
 # --------------------------------------------------------------------- A
 
@@ -447,7 +448,7 @@ def agg_distinct_hosts(spark, sf):
     )
 
 
-@op("approx_frontier_card", None, "D")  # approximate → rows-only check
+@op("approx_frontier_card", _golden("approx_frontier_card"), "D")
 def approx_frontier_card(spark, sf):
     # HLL round telemetry (SURVEY.md §2 D3); value is approximate so no
     # value-hash oracle — pytest bounds its error vs the exact count

@@ -22,6 +22,7 @@ from pyspark.sql.types import ArrayType, IntegerType
 
 from engine.io import load_table
 from engine.ops import op
+from engine.ops.goldens import golden_oracle as _golden
 from engine.textanalysis import _derived_u64
 
 N_QUERIES = 5  # vec_id < 5 are the query set in the registry entries
@@ -155,7 +156,7 @@ def lsh_buckets(emb: DataFrame) -> DataFrame:
     )
 
 
-@op("ann_lsh_bucket", None, "K")
+@op("ann_lsh_bucket", _golden("ann_lsh_bucket"), "K")
 def ann_lsh_bucket(spark, sf):
     """IVF/LSH-style ANN: queries probe only their own bucket; exact cosine
     re-ranks within it.  Rows-only (approximate); recall pytest-checked."""
@@ -287,9 +288,21 @@ def ivf_centroids(emb: DataFrame) -> np.ndarray:
         F.element_at(assign1("embedding"), 1).alias("cell"),
         F.posexplode("embedding").alias("dim", "x"),
     )
+    # Order-free exact mean: floor-scale each coordinate to a 2^-20 grid,
+    # sum as LONGs (commutative/associative — bit-identical at any
+    # partitioning or parallelism, unlike F.avg's order-dependent double
+    # sum), divide once at the end.  Grid loss ~1e-6 is irrelevant for a
+    # coarse quantizer, and it makes the centroid matrix — hence the whole
+    # op — a pinnable fixed fact per dataset (fixtures/golden_oracles.json).
+    scale = 1 << 20
     means = (
         assigned.groupBy("cell", "dim")
-        .agg(F.avg("x").alias("m"))
+        .agg(
+            (
+                (F.sum(F.floor(F.col("x") * scale).cast("long")) / F.count("*"))
+                / F.lit(float(scale))
+            ).alias("m")
+        )
         .collect()
     )
     cents = seed_mat.copy()  # empty cells keep their seed vector
@@ -302,7 +315,7 @@ def ivf_centroids(emb: DataFrame) -> np.ndarray:
     return cents
 
 
-@op("ann_ivf", None, "K")
+@op("ann_ivf", _golden("ann_ivf"), "K")
 def ann_ivf(spark, sf):
     """IVF-style ANN (task brief: 'an IVF or LSH-bucketed variant as the
     scale path', complementing ann_lsh_bucket): a deterministic 16-cell

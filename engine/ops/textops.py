@@ -23,6 +23,7 @@ from pyspark.sql.types import ArrayType, LongType
 
 from engine.io import load_table
 from engine.ops import op
+from engine.ops.goldens import golden_oracle as _golden
 from engine.textanalysis import (
     LANG_MARKERS,
     band_keys,
@@ -149,7 +150,7 @@ def minhash_candidate_pairs(sk):
     )
 
 
-@op("dedup_minhash_lsh", None, "K")
+@op("dedup_minhash_lsh", _golden("dedup_minhash_lsh"), "K")
 def dedup_minhash_lsh(spark, sf):
     # verify candidates with the exact n-gram jaccard (filters prune,
     # verification decides — same invariant as the bloom seen-set).
@@ -172,7 +173,7 @@ def dedup_minhash_lsh(spark, sf):
     return verified.select("doc_a", "doc_b", "jac")
 
 
-@op("dedup_ngram_jaccard", None, "K")
+@op("dedup_ngram_jaccard", _golden("dedup_ngram_jaccard"), "K")
 def dedup_ngram_jaccard(spark, sf):
     """Exact n-gram Jaccard over LSH candidates (the brute-force verifier
     exposed as its own operator; rows-only — pytest oracles it against a
@@ -199,7 +200,7 @@ def _simhash_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: simhash64(t or "")).astype("int64")
 
 
-@op("dedup_simhash", None, "K")
+@op("dedup_simhash", _golden("dedup_simhash"), "K")
 def dedup_simhash(spark, sf):
     """SimHash near-dup: 64-bit fingerprints, candidates via 4×16-bit band
     equality (any pair at hamming ≤ 3 shares ≥ 1 exact band — pigeonhole),
@@ -394,7 +395,7 @@ def _fingerprint_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: doc_fingerprint(t or ""))
 
 
-@op("doc_fingerprint", None, "K")
+@op("doc_fingerprint", _golden("doc_fingerprint"), "K")
 def doc_fingerprint_op(spark, sf):
     # winnowing-style rolling-hash fingerprint (engine/textanalysis.py);
     # ints < 2^61 so LongType-safe; rows-only (not ANSI-expressible).
@@ -482,18 +483,24 @@ def dedup_clusters(spark, sf):
     # The dedup ENDGAME: pairwise near-dup matches only say "a ~ b"; what
     # a pipeline drops is per-CLUSTER (transitive closure of matches),
     # keeping one canonical doc per component.  Components via
-    # label_propagate over the pair graph; survivor = the cluster-min id
-    # (same min-survivor convention as dedup_exact).  The synthetic pair
-    # graph chains each decade block (doc_id ~ doc_id-1 unless %10==0):
-    # diameter 9, so 10 rounds are provably enough, and the closed-form
-    # oracle is cluster_id = doc_id - doc_id%10.
+    # components_auto: min-label propagation for the common near-clique
+    # case, with ONE convergence probe that auto-escalates to star
+    # contraction (O(log d)) when the graph turns out chain-shaped —
+    # tests/test_textops.py drives the escalation on an adversarial
+    # 499-hop chain.  Survivor = the cluster-min id (same min-survivor
+    # convention as dedup_exact).  The synthetic pair graph chains each
+    # decade block (doc_id ~ doc_id-1 unless %10==0): diameter 9, so
+    # propagation converges and the closed-form oracle is
+    # cluster_id = doc_id - doc_id%10.
+    from engine.graph import components_auto
+
     docs = load_table(spark, sf, "documents").select(
         F.col("doc_id").alias("id")
     )
     edges = docs.filter(F.col("id") % 10 != 0).select(
         F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
     )
-    lab = label_propagate(docs, edges, rounds=10)
+    lab = components_auto(docs, edges, prop_rounds=10)
     return lab.select(
         F.col("id").alias("doc_id"),
         "cluster_id",
@@ -587,8 +594,11 @@ _REPETITION_SQL = (
     "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
     "FROM documents), "
     "wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w) "
-    "SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct, "
-    "max(c) AS top_freq, (max(c) * 10000) // sum(c) AS top_ratio_bp, "
+    # CAST each HUGEINT-producing aggregate to BIGINT: DuckDB types sum()
+    # and // over BIGINT as HUGEINT, which exports to pandas as float64 and
+    # trips the driver's typed hash against Spark's int64 (CORRECTNESS_r02).
+    "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, count(*) AS n_distinct, "
+    "max(c) AS top_freq, CAST((max(c) * 10000) // sum(c) AS BIGINT) AS top_ratio_bp, "
     "max(c) * 10000 <= 2000 * sum(c) AS keep FROM wc GROUP BY doc_id"
 )
 
@@ -649,20 +659,23 @@ def stratified_sample(spark, sf):
 
 _TFIDF_SQL = (
     # same tokenization as repetition_filter (split on single space — the
-    # fixture corpus is single-spaced); score rounded to 4 decimals on
-    # BOTH sides per the registry determinism rules, and the top-k window
-    # orders by the ROUNDED score with term as the unique tie-break
+    # fixture corpus is single-spaced); score crosses the oracle boundary as
+    # integer basis points (round(raw*10000) CAST BIGINT) on BOTH sides —
+    # float64 never reaches the driver's typed hash (the r02 HUGEINT/float
+    # export artifact) and the top-k window orders by the same integer with
+    # term as the unique tie-break.  df is CAST BIGINT for the identical
+    # reason (DuckDB window sum over BIGINT → HUGEINT → float64 export).
     "WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term "
     "FROM documents), "
     "per AS (SELECT term, lang, count(*) AS tf, "
     "count(DISTINCT doc_id) AS df_l FROM tok GROUP BY term, lang), "
     "tot AS (SELECT count(*) AS n_total FROM documents), "
     "sc AS (SELECT lang, term, tf, "
-    "sum(df_l) OVER (PARTITION BY term) AS df, "
-    "round(tf * ln(CAST(n_total AS DOUBLE) / sum(df_l) OVER (PARTITION BY term)), 4) "
-    "AS score FROM per, tot) "
-    "SELECT lang, term, tf, df, score, rnk FROM "
-    "(SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) "
+    "CAST(sum(df_l) OVER (PARTITION BY term) AS BIGINT) AS df, "
+    "CAST(round(tf * ln(CAST(n_total AS DOUBLE) / sum(df_l) OVER (PARTITION BY term)) "
+    "* 10000) AS BIGINT) AS score_bp FROM per, tot) "
+    "SELECT lang, term, tf, df, score_bp, rnk FROM "
+    "(SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score_bp DESC, term) "
     "AS rnk FROM sc) WHERE rnk <= 5"
 )
 
@@ -697,21 +710,21 @@ def tfidf_top_terms(spark, sf):
         per.crossJoin(n1)
         .withColumn("df", F.sum("df_l").over(w_term))
         .withColumn(
-            "score",
+            "score_bp",
             F.round(
                 F.col("tf")
-                * F.log(F.col("n_total").cast("double") / F.col("df")),
-                4,
-            ),
+                * F.log(F.col("n_total").cast("double") / F.col("df"))
+                * 10000
+            ).cast("long"),
         )
     )
     w_lang = Window.partitionBy("lang").orderBy(
-        F.desc("score"), F.asc("term")
+        F.desc("score_bp"), F.asc("term")
     )
     return (
         sc.withColumn("rnk", F.row_number().over(w_lang))
         .filter(F.col("rnk") <= 5)
-        .select("lang", "term", "tf", "df", "score", "rnk")
+        .select("lang", "term", "tf", "df", "score_bp", "rnk")
     )
 
 
@@ -813,8 +826,11 @@ def dedup_incremental(spark, sf):
     docs = load_table(spark, sf, "documents").select(
         "doc_id", F.sha2("text", 256).alias("k")
     )
+    # integer DIV, not float true-division — exact at any doc_id magnitude
+    # and identical to the oracle's // (ADVICE r2: /2 then cast truncates
+    # through double, diverging past 2^53)
     bound = F.broadcast(
-        docs.agg(((F.max("doc_id") + 1) / 2).cast("long").alias("b"))
+        docs.agg(F.expr("CAST((max(doc_id) + 1) DIV 2 AS LONG)").alias("b"))
     )
     keyed = docs.crossJoin(bound)
     hist = keyed.filter(F.col("doc_id") < F.col("b")).select("k")

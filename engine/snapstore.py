@@ -171,8 +171,17 @@ class SnapStore:
                 if rel:
                     paths.append(os.path.join(self.data_dir, rel))
         if not paths:
-            # nothing appended in the window: empty frame, schema preserved
-            return self.read(spark, table, to_sid).limit(0)
+            # Nothing appended in the window: empty frame, schema preserved.
+            # Take the schema from ANY layer of the table — read(to_sid)
+            # would raise when the table's first append lands after to_sid,
+            # breaking this docstring's promise (ADVICE r2).
+            for s in reversed(self.snapshot_ids()):
+                rel = self.manifest(s)["tables"].get(table)
+                if rel:
+                    return spark.read.parquet(
+                        os.path.join(self.data_dir, rel)
+                    ).limit(0)
+            raise FileNotFoundError(f"{table}: never appended in any snapshot")
         return spark.read.parquet(*paths)
 
     def gc_orphans(self) -> list[str]:

@@ -164,12 +164,35 @@ def _tree_cpu_seconds() -> float:
     for pid, (ppid, _) in procs.items():
         kids.setdefault(ppid, []).append(pid)
     total, stack = 0.0, [me]
+    by = {"java": 0.0, "python": 0.0, "other": 0.0}
     while stack:
         p = stack.pop()
         if p in procs:
             total += procs[p][1]
+            nm = names.get(p, "")
+            key = (
+                "java"
+                if "java" in nm
+                else "python" if "python" in nm else "other"
+            )
+            by[key] += procs[p][1]
         stack.extend(kids.get(p, []))
+    _tree_cpu_seconds.last_split = by  # side-channel for the caller
     return total
+
+
+def _jvm_gc_seconds(spark) -> float:
+    """Cumulative stop-the-world GC seconds of the driver JVM (local mode:
+    the only JVM) via the management MXBeans — the per-round delta says
+    whether CPU inflation at high parallelism is garbage collection."""
+    try:
+        beans = (
+            spark._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        return sum(b.getCollectionTime() for b in beans) / 1000.0
+    except Exception:
+        return 0.0
 
 
 def ensure_corpus(path: str, n_hosts: int, mean_pages: int, body_words: int) -> None:
@@ -274,9 +297,13 @@ def run_worker(args) -> dict:
     for r in range(args.rounds):
         tr = time.time()
         cpu0 = _tree_cpu_seconds()
+        split0 = dict(_tree_cpu_seconds.last_split)
+        gc0 = _jvm_gc_seconds(spark)
         m = run_round(spark, store, r, pidx, robots, cfg, offset)
         sec = time.time() - tr
         cpu = _tree_cpu_seconds() - cpu0
+        split1 = _tree_cpu_seconds.last_split
+        gc1 = _jvm_gc_seconds(spark)
         offset += m["n_selected"]
         rounds.append(
             {
@@ -285,6 +312,9 @@ def run_worker(args) -> dict:
                 "sec": round(sec, 2),
                 "cpu_core_sec": round(cpu, 1),
                 "parallel_util": round(cpu / (sec * cpus), 3),
+                "cpu_java": round(split1["java"] - split0["java"], 1),
+                "cpu_python": round(split1["python"] - split0["python"], 1),
+                "gc_sec": round(gc1 - gc0, 2),
             }
         )
         print(

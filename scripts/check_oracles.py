@@ -35,6 +35,32 @@ def _norm(v):
     return v
 
 
+_DTYPE_CLASS = {
+    # hash-equivalence classes for pandas dtypes: within a class the typed
+    # hash agrees; across int<->float it does not (the r02 failure mode)
+    "int8": "int", "int16": "int", "int32": "int", "int64": "int",
+    "uint8": "int", "uint16": "int", "uint32": "int", "uint64": "int",
+    "Int64": "int",
+    "float16": "float", "float32": "float", "float64": "float",
+    # timestamp resolution differs benignly between exporters
+    "datetime64[ns]": "ts", "datetime64[us]": "ts", "datetime64[ms]": "ts",
+}
+
+
+def _dtype_mismatch(spdf, dpdf):
+    bad = []
+    for c in spdf.columns:
+        if c not in dpdf.columns:
+            continue
+        a = str(spdf[c].dtype)
+        b = str(dpdf[c].dtype)
+        ca = _DTYPE_CLASS.get(a, a)
+        cb = _DTYPE_CLASS.get(b, b)
+        if ca != cb and "object" not in (ca, cb):
+            bad.append(f"{c}: spark={a} oracle={b}")
+    return "; ".join(bad)
+
+
 def multiset(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     # sort by repr: nullable columns make raw tuples unorderable (None < int)
@@ -108,6 +134,20 @@ def main(argv):
                     (a, b) for a, b in zip(ms, md) if a != b
                 ][:3]
                 problems.append(f"values differ, first diffs: {diff}")
+        if not problems:
+            # Driver-faithful typed stage: the driver exports both sides to
+            # pandas, sorts columns by name, and hashes TYPED values — an
+            # int64-vs-float64 dtype split (e.g. DuckDB HUGEINT export) fails
+            # there even when the Python-normalized values above are equal.
+            # Reproduce that sensitivity so dtype artifacts surface locally.
+            try:
+                spdf = sdf.toPandas()
+                dpdf = con.execute(spec.oracle).df()
+                dt = _dtype_mismatch(spdf, dpdf)
+                if dt:
+                    problems.append(f"typed-dtype mismatch: {dt}")
+            except Exception as e:  # pragma: no cover - diagnostics only
+                problems.append(f"typed-compare error: {e}")
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             n_fail += 1

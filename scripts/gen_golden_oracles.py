@@ -1,0 +1,428 @@
+"""Generate fixtures/golden_oracles.json — pinned VALUES oracles for the
+deterministic ops whose semantics are not ANSI-SQL-expressible (see
+engine/ops/goldens.py for the trust model).
+
+For every op with an independent pure recomputation (pure Python/numpy
+over pandas-loaded parquet — NO Spark in the recompute path), the script
+ASSERTS the Spark output equals the recomputation before pinning it, so
+the pin is an independently-derived fact, not a Spark-pins-Spark
+regression value.  Two exceptions, documented inline:
+
+- approx_frontier_card: HLL++ register state is defined only by Spark's
+  implementation; its merge is a commutative register-max, hence
+  partitioning-invariant, and the pinned value sits inside the error
+  bound asserted by tests/test_operators.py.
+- crawl_lineage_agg: the "recompute" IS refspec.run_crawl — the
+  independent executable spec — and the pin is taken from refspec, with
+  the Spark result asserted equal.
+
+Usage:  python scripts/gen_golden_oracles.py [--check]
+  --check: regenerate in memory and diff against the committed file
+           (exit 1 on drift) without writing.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures",
+    "golden_oracles.json",
+)
+
+
+def _fold_dot(a, b):
+    """Left-fold float64 dot product — bit-identical to the engine's
+    F.aggregate(zip_with(...)) JVM fold."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _cos(a, b):
+    return _fold_dot(a, b) / (math.sqrt(_fold_dot(a, a)) * math.sqrt(_fold_dot(b, b)))
+
+
+# ------------------------------------------------------- pure recomputes
+
+
+def expect_extract_text():
+    from engine.pure import html_to_text
+    from fixtures.gen import gen_corpus
+
+    return [(p["url"], html_to_text(p["html"])) for p in gen_corpus("XS").pages]
+
+
+def expect_extract_links():
+    from engine.pure import extract_links
+    from fixtures.gen import gen_corpus
+
+    rows = []
+    for p in gen_corpus("XS").pages:
+        for dst in extract_links(p["html"], p["url"]) or []:
+            rows.append((p["url"], dst))
+    return rows
+
+
+def expect_doc_fingerprint(docs):
+    from engine.textanalysis import doc_fingerprint
+
+    rows = []
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        for pos, fp in enumerate(doc_fingerprint(t or "")):
+            rows.append((int(did), pos, fp))
+    return rows
+
+
+def _minhash_state(docs):
+    from engine.textanalysis import (
+        band_keys,
+        minhash_signature_from_hashes,
+        shingle_hashes,
+    )
+
+    buckets = defaultdict(list)
+    sh_by = {}
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        did = int(did)
+        sh = shingle_hashes(t or "")
+        sh_by[did] = set(sh.astype(np.int64).tolist())
+        for bid, bk in enumerate(band_keys(minhash_signature_from_hashes(sh))):
+            buckets[(bid, bk)].append(did)
+    pairs = set()
+    for v in buckets.values():
+        v = sorted(v)
+        for i in range(len(v)):
+            for j in range(i + 1, len(v)):
+                pairs.add((v[i], v[j]))
+    return pairs, sh_by
+
+
+def _jac(sa, sb):
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def expect_ngram_jaccard(docs):
+    pairs, sh_by = _minhash_state(docs)
+    return [(a, b, _jac(sh_by[a], sh_by[b])) for a, b in sorted(pairs)]
+
+
+def expect_minhash_lsh(docs):
+    return [r for r in expect_ngram_jaccard(docs) if r[2] >= 0.5]
+
+
+def expect_simhash(docs):
+    from engine.textanalysis import simhash64
+
+    sims = {
+        int(d): simhash64(t or "")
+        for d, t in zip(docs["doc_id"], docs["text"])
+    }
+    b2 = defaultdict(list)
+    for did, s in sims.items():
+        for i in range(4):
+            b2[(i, (s >> (16 * i)) & 0xFFFF)].append(did)
+    rows = []
+    seen = set()
+    for v in b2.values():
+        v = sorted(v)
+        for i in range(len(v)):
+            for j in range(i + 1, len(v)):
+                p = (v[i], v[j])
+                if p in seen:
+                    continue
+                seen.add(p)
+                # python ints are unbounded: xor of the raw uint64 patterns
+                ham = bin((sims[p[0]] ^ sims[p[1]]) & ((1 << 64) - 1)).count("1")
+                if ham <= 3:
+                    rows.append((p[0], p[1], ham))
+    return rows
+
+
+def _lsh_codes(mat):
+    """Replicates engine.ops.simsearch._lsh_bucket_udf with the identical
+    numpy expressions on the identical float64 input."""
+    from engine.ops.simsearch import N_PLANES, N_TABLES, _hyperplanes
+
+    planes = _hyperplanes()
+    out = np.zeros((mat.shape[0], N_TABLES), dtype=np.int32)
+    for t in range(N_TABLES):
+        signs = (mat @ planes[t].T) > 0
+        code = np.zeros(mat.shape[0], dtype=np.int32)
+        for p in range(N_PLANES):
+            code |= signs[:, p].astype(np.int32) << p
+        out[:, t] = code | (t << N_PLANES)
+    return out
+
+
+def _topk(scored, top_k):
+    """scored: {query_id: {cand_id: cos}} → ranked rows (q, c, rnk, cos6)
+    using the engine's ordering (round6 cos desc, cand asc)."""
+    rows = []
+    for q in sorted(scored):
+        ranked = sorted(
+            scored[q].items(), key=lambda kv: (-round(kv[1], 6), kv[0])
+        )
+        for rnk, (c, cos) in enumerate(ranked[:top_k], start=1):
+            rows.append((q, c, rnk, round(cos, 6)))
+    return rows
+
+
+def expect_ann_lsh(emb):
+    from engine.ops.simsearch import N_QUERIES, TOP_K
+
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    codes = _lsh_codes(mat)
+    by_bucket = defaultdict(lambda: ([], []))  # bucket -> (queries, cands)
+    for i, vid in enumerate(ids):
+        for b in codes[i]:
+            (by_bucket[int(b)][0] if vid < N_QUERIES else by_bucket[int(b)][1]).append(i)
+    scored = defaultdict(dict)
+    for qs, cs in by_bucket.values():
+        for qi in qs:
+            for ci in cs:
+                q, c = int(ids[qi]), int(ids[ci])
+                if c not in scored[q]:
+                    scored[q][c] = _cos(mat[qi], mat[ci])
+    return _topk(scored, TOP_K)
+
+
+def expect_ann_ivf(emb):
+    import hashlib
+
+    from engine.ops.simsearch import N_CELLS, N_PROBE, N_QUERIES, TOP_K
+
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    # seeds: N_CELLS smallest (sha256("ivf:"+vec_id)[:8], vec_id)
+    pri = sorted(
+        range(len(ids)),
+        key=lambda i: (
+            hashlib.sha256(f"ivf:{int(ids[i])}".encode()).digest()[:8],
+            int(ids[i]),
+        ),
+    )[:N_CELLS]
+    seed_mat = mat[pri].copy()
+
+    def assign(m, cents, nprobe):
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ cn.T
+        return np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+
+    cells1 = assign(mat, seed_mat, 1)[:, 0]
+    # exact order-free mean on the 2^-20 floor grid (engine does the same
+    # with LONG sums, so this matches bit-for-bit)
+    scale = 1 << 20
+    cents = seed_mat.copy()
+    for c in range(N_CELLS):
+        sel = mat[cells1 == c]
+        if len(sel):
+            tot = np.floor(sel * scale).astype(np.int64).sum(axis=0)
+            for d in range(mat.shape[1]):
+                cents[c, d] = (float(tot[d]) / len(sel)) / float(scale)
+    cand_cell = assign(mat, cents, 1)[:, 0]
+    q_cells = assign(mat, cents, N_PROBE)
+    by_cell = defaultdict(list)
+    for i, vid in enumerate(ids):
+        if vid >= N_QUERIES:
+            by_cell[int(cand_cell[i])].append(i)
+    scored = defaultdict(dict)
+    for i, vid in enumerate(ids):
+        if vid < N_QUERIES:
+            for cell in q_cells[i]:
+                for ci in by_cell.get(int(cell), ()):
+                    q, c = int(vid), int(ids[ci])
+                    if c not in scored[q]:
+                        scored[q][c] = _cos(mat[i], mat[ci])
+    return _topk(scored, TOP_K)
+
+
+def expect_bloom_prune(orders, lineitem):
+    from engine.filters import bloom_build, bloom_contains, bloom_params
+
+    keys = orders["o_orderkey"].to_numpy(dtype=np.int64)
+    blooms = {}
+    for b in range(32):
+        bk = keys[(keys % 32 + 32) % 32 == b].astype(np.uint64)
+        n_bits, k = bloom_params(len(bk))
+        blooms[b] = (bloom_build(bk, n_bits, k), n_bits, k)
+    counts = defaultdict(int)
+    for kind, probe in (
+        ("present", lineitem["l_orderkey"].to_numpy(dtype=np.int64)),
+        ("absent", lineitem["l_orderkey"].to_numpy(dtype=np.int64) + 1_000_000_000),
+    ):
+        buckets = (probe % 32 + 32) % 32
+        u = probe.astype(np.uint64)
+        for b in np.unique(buckets):
+            bits, n_bits, k = blooms[int(b)]
+            hit = bloom_contains(bits, n_bits, k, u[buckets == b])
+            counts[(kind, True)] += int(hit.sum())
+            counts[(kind, False)] += int((~hit).sum())
+    return [
+        (kind, ms, n) for (kind, ms), n in sorted(counts.items()) if n > 0
+    ]
+
+
+def expect_crawl_lineage_agg():
+    from fixtures.gen import gen_corpus
+    from refspec import CrawlConfig, run_crawl as ref_run_crawl
+
+    c = gen_corpus("XS")
+    cfg = CrawlConfig(
+        seeds=tuple(c.seeds),
+        default_budget=c.default_budget,
+        budget_overrides=c.budget_overrides,
+        max_rounds=100,
+    )
+    res = ref_run_crawl(c.pages, c.robots, cfg)
+    # lineage rows: (round, host, url_hash, url, status, n_links,
+    # text_bytes, fetch_seq)
+    agg = defaultdict(lambda: [0, 0, 0, set(), 0, 0])
+    for rnd, host, _h, _u, status, n_links, text_bytes, _s in res.lineage:
+        a = agg[rnd]
+        a[0] += 1
+        a[1] += 1 if status == "200" else 0
+        a[2] += 0 if status == "200" else 1
+        a[3].add(host)
+        a[4] += n_links
+        a[5] += text_bytes
+    return [
+        (rnd, a[0], a[1], a[2], len(a[3]), a[4], a[5])
+        for rnd, a in sorted(agg.items())
+    ]
+
+
+# ----------------------------------------------------------- spark side
+
+
+def _spark_rows(spark, name):
+    from engine.ops import REGISTRY
+
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    types = {
+        "bigint": "long",
+        "int": "int",
+        "integer": "int",
+        "double": "double",
+        "string": "string",
+        "boolean": "boolean",
+    }
+    cols = df.columns
+    dts = [types[t] for _, t in df.dtypes]
+    rows = [tuple(r) for r in df.collect()]
+    return cols, dts, rows
+
+
+def _assert_match(name, spark_rows, expected, float_cols=(), tol=1e-9):
+    """Spark vs pure recompute: exact on non-floats, tol on floats (tol
+    covers the Spark-side display rounding; the pin then stores Spark's
+    exact rounded double)."""
+    assert len(spark_rows) == len(expected), (
+        f"{name}: rowcount spark={len(spark_rows)} pure={len(expected)}"
+    )
+
+    def key(r):
+        return tuple(
+            round(v, 6) if isinstance(v, float) else v for v in r
+        )
+
+    s_sorted = sorted(spark_rows, key=lambda r: repr(key(r)))
+    e_sorted = sorted(expected, key=lambda r: repr(key(r)))
+    for sr, er in zip(s_sorted, e_sorted):
+        for i, (sv, ev) in enumerate(zip(sr, er)):
+            if i in float_cols:
+                assert abs(float(sv) - float(ev)) < tol, (name, sr, er)
+            else:
+                assert sv == ev, (name, sr, er)
+
+
+def main(argv):
+    check = "--check" in argv
+    from engine.ops import _load_all
+    from engine.session import get_spark
+
+    _load_all()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+
+    spark = get_spark(
+        master="local[8]",
+        app_name="gen-goldens",
+        shuffle_partitions=8,
+        extra={"spark.ui.enabled": "false", "spark.driver.memory": "8g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # op -> (pure recompute rows | None, float col indexes)
+    plan = {
+        "extract_text": (expect_extract_text(), ()),
+        "extract_links": (expect_extract_links(), ()),
+        "doc_fingerprint": (expect_doc_fingerprint(docs), ()),
+        # tol per op covers the engine-side display rounding (4dp / 6dp)
+        "dedup_minhash_lsh": (expect_minhash_lsh(docs), (2,)),
+        "dedup_ngram_jaccard": (expect_ngram_jaccard(docs), (2,)),
+        "dedup_simhash": (expect_simhash(docs), ()),
+        "ann_lsh_bucket": (expect_ann_lsh(emb), (3,)),
+        "ann_ivf": (expect_ann_ivf(emb), (3,)),
+        "bloom_prune": (expect_bloom_prune(orders, lineitem), ()),
+        "crawl_lineage_agg": (expect_crawl_lineage_agg(), ()),
+        # HLL++ register state is Spark-defined; commutative merge makes it
+        # partitioning-invariant, and tests/test_operators.py bounds its
+        # error vs the exact count — pinned WITHOUT a pure recompute.
+        "approx_frontier_card": (None, ()),
+    }
+    tols = {
+        "dedup_minhash_lsh": 5.1e-5,
+        "dedup_ngram_jaccard": 5.1e-5,
+        "ann_lsh_bucket": 5.1e-7,
+        "ann_ivf": 5.1e-7,
+    }
+    out = {}
+    for name, (expected, fcols) in plan.items():
+        cols, dts, rows = _spark_rows(spark, name)
+        if expected is not None:
+            _assert_match(
+                name, rows, expected, float_cols=set(fcols),
+                tol=tols.get(name, 1e-9),
+            )
+        rows = sorted(rows, key=repr)
+        out[name] = {"cols": cols, "types": dts, "rows": [list(r) for r in rows]}
+        print(f"pinned {name}: {len(rows)} rows")
+
+    if check:
+        with open(OUT) as f:
+            committed = json.load(f)
+        if committed != out:
+            drift = [k for k in out if committed.get(k) != out[k]]
+            print(f"DRIFT in {drift}")
+            return 1
+        print("golden oracles: no drift")
+        return 0
+    with open(OUT, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {OUT}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
