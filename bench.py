@@ -15,10 +15,18 @@ Two parts, both timed end-to-end (plan build → materialization):
    real anti-join/dedup/politeness/fetch/extract work, then
    ``engine.crawl.run_round`` for 3 rounds.
 
+The crawl phase is measured as the MEDIAN of ``$SPARK_GRAFT_CRAWL_SAMPLES``
+(default 3) runs, each in its own FRESH JVM subprocess (``--crawl-only``
+mode): single-shot crawl numbers on this co-tenanted host swing up to ±2×
+(BENCH/BASELINE.md documents 19.4–45.9 s for a byte-identical binary), so
+a headline artifact must carry median + spread or it is evidence of
+nothing (VERDICT r2 item 4).
+
 Output: {"metric": "headline_suite_sec", "value": <total sec>,
          "unit": "sec", "queries": {name: sec, ...}, "sf": <float>,
          "crawl": {"fetched_urls":…, "frontier_urls":…, "sec":…,
-                   "urls_per_sec":…}, "cpus": N}
+                   "urls_per_sec":…, "median_sec":…, "samples":[…]},
+         "cpus": N}
 
 Scaling-efficiency evidence (local[8] vs local[32]) is produced by
 ``scripts/bench_scaling.py``, which shells out to this file at two
@@ -171,11 +179,9 @@ def bench_crawl(spark, sf: float) -> dict:
     return out
 
 
-def main() -> int:
-    from engine.ops import REGISTRY, _load_all
+def _make_spark():
     from engine.session import get_spark
 
-    sf = _sf_from_dir(SF_DIR)
     spark = get_spark(
         master=f"local[{CPUS}]",
         app_name="bench",
@@ -188,12 +194,14 @@ def main() -> int:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
-    _load_all()
+    return spark
 
+
+def _warmup(spark) -> None:
     # Untimed warm-up: first-query costs (codegen compilation, parquet
     # footer caches, Python-worker + Arrow channel startup) otherwise land
     # entirely on whichever op runs first (~4s on anti_join_seen at r1).
-    # Headline times should measure steady-state execution.
+    # Measured phases should see steady-state execution only.
     from pyspark.sql import functions as F
 
     from engine.udfs import hash64_udf
@@ -207,18 +215,86 @@ def main() -> int:
         .select(hash64_udf("url").alias("h"))
     )
 
-    # Crawl phase FIRST, in the near-fresh JVM: measured after the full
-    # headline suite the same 3 rounds swing 30-147 s run-to-run (GC /
-    # ContextCleaner timing in the long-lived heap), while fresh-JVM runs
-    # are stable at ~34 s.  This ordering matches how the scaling-
-    # efficiency evidence (scripts/bench_scaling.py) measures the crawl,
-    # so the two reports stay comparable.
-    crawl = bench_crawl(spark, sf)
 
-    # Phase boundary: drop crawl-phase cached blocks (pages index) before
-    # timing the headline ops.
-    spark.catalog.clearCache()
-    spark.sparkContext._jvm.System.gc()
+def crawl_only() -> int:
+    """One fresh-JVM crawl sample (spawned by main): warm-up + 3 measured
+    rounds, ONE JSON line on stdout."""
+    sf = _sf_from_dir(SF_DIR)
+    spark = _make_spark()
+    _warmup(spark)
+    print(json.dumps(bench_crawl(spark, sf)))
+    return 0
+
+
+def _crawl_samples(k: int) -> list[dict]:
+    """K crawl samples, each in its own fresh JVM subprocess — the
+    single-shot number on this host swings ±2× with co-tenant load, so the
+    headline artifact carries median + all samples.  Falls back to one
+    in-process sample if spawning fails."""
+    import subprocess
+
+    out = []
+    for i in range(k):
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--crawl-only"],
+            capture_output=True,
+            text=True,
+            timeout=1200,
+        )
+        if r.returncode != 0:
+            print(
+                f"crawl sample {i} failed: {r.stderr[-500:]}", file=sys.stderr
+            )
+            continue
+        out.append(json.loads(r.stdout.strip().splitlines()[-1]))
+    return out
+
+
+def main() -> int:
+    if "--crawl-only" in sys.argv:
+        return crawl_only()
+    from engine.ops import REGISTRY, _load_all
+
+    sf = _sf_from_dir(SF_DIR)
+
+    # Crawl phase FIRST and in FRESH JVM subprocesses (median of K): crawl
+    # timing is only stable in a fresh JVM (measured after the headline
+    # suite the same 3 rounds swing 30-147 s from GC/ContextCleaner timing
+    # in the long-lived heap), and a single fresh-JVM shot still swings
+    # ±2× with host co-tenancy — median-of-K is the noise-proof headline.
+    k = int(os.environ.get("SPARK_GRAFT_CRAWL_SAMPLES", "3"))
+    samples = _crawl_samples(k)
+
+    spark = _make_spark()
+    _load_all()
+    _warmup(spark)
+
+    if samples:
+        # determinism check across fresh JVMs: the WORK must be identical,
+        # only the wall time may move
+        if len({s["fetched_urls"] for s in samples}) > 1:
+            print(
+                f"WARNING: fetched_urls differ across samples: "
+                f"{[s['fetched_urls'] for s in samples]}",
+                file=sys.stderr,
+            )
+        secs = sorted(s["sec"] for s in samples)
+        med_sec = secs[len(secs) // 2]
+        crawl = dict(next(s for s in samples if s["sec"] == med_sec))
+        crawl["median_sec"] = med_sec
+        crawl["samples"] = [
+            {"sec": s["sec"], "urls_per_sec": s["urls_per_sec"]}
+            for s in samples
+        ]
+        crawl["spread_sec"] = [secs[0], secs[-1]]
+    else:  # spawn failure fallback: one in-process near-fresh sample
+        crawl = bench_crawl(spark, sf)
+        crawl["median_sec"] = crawl["sec"]
+        crawl["samples"] = [
+            {"sec": crawl["sec"], "urls_per_sec": crawl["urls_per_sec"]}
+        ]
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
@@ -229,7 +305,7 @@ def main() -> int:
         _force(spec.fn(spark, SF_DIR))
         times[name] = round(time.time() - t0, 3)
 
-    times["crawl_3rounds"] = crawl["sec"]
+    times["crawl_3rounds"] = crawl["median_sec"]
 
     total = round(sum(times.values()), 3)
     print(

@@ -40,6 +40,8 @@ def main() -> int:
     p.add_argument("--rounds", type=int, default=3)
     p.add_argument("--budget", type=int, default=1000)
     p.add_argument("--corpus", default=M_CORPUS)
+    p.add_argument("--seen-filter", default="exact", choices=["exact", "bloom"])
+    p.add_argument("--out", default="m_crawl.json")
     args = p.parse_args()
 
     ensure_corpus(args.corpus, n_hosts=200, mean_pages=5000, body_words=600)
@@ -48,6 +50,7 @@ def main() -> int:
         os.path.join(REPO, "scripts", "bench_scaling.py"), "--worker",
         "--cpus", str(args.cpus), "--corpus", args.corpus,
         "--rounds", str(args.rounds), "--budget", str(args.budget),
+        "--seen-filter", args.seen_filter,
     ]
     if shutil.which("spark-submit"):
         zip_path = "/tmp/spark_graft_bench/engine.zip"
@@ -78,6 +81,7 @@ def main() -> int:
     report = {
         "metric": "m_crawl_urls_per_sec",
         "value": round(thr, 1),
+        "seen_filter": args.seen_filter,
         "per_core": round(thr / args.cpus, 1),
         "cpus": args.cpus,
         "budget_per_host": args.budget,
@@ -92,7 +96,7 @@ def main() -> int:
         "level": res,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "m_crawl.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", args.out), "w") as f:
         json.dump(report, f, indent=2)
     # refresh BASELINE.md so the M row lands in the results table
     scaling_path = os.path.join(REPO, "BENCH", "scaling.json")

@@ -181,6 +181,54 @@ def _tree_cpu_seconds() -> float:
     return total
 
 
+def _jvm_thread_cpu() -> dict[str, float]:
+    """Per-thread-GROUP CPU seconds of the driver JVM, from
+    /proc/<jvm>/task/*/stat (Java writes thread names into comm, truncated
+    to 15 chars).  Attributes the JVM-side CPU inflation at high
+    parallelism to its actual owner (GC threads, C2 JIT, task executors,
+    shuffle clients, Arrow writers…).  Keyed by a normalized name prefix
+    (digits stripped) so pools aggregate."""
+    import glob as _glob
+    import re as _re
+
+    # find the JVM: nearest java ancestor (same climb as _tree_cpu_seconds)
+    me = os.getpid()
+    tick = os.sysconf("SC_CLK_TCK")
+    parents = {}
+    names = {}
+    for stat in _glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(stat) as fh:
+                head, tail = fh.read().rsplit(")", 1)
+            pid = int(head.split("(")[0])
+            names[pid] = head.split("(", 1)[1]
+            parents[pid] = int(tail.split()[1])
+        except (OSError, ValueError, IndexError):
+            continue
+    jvm = None
+    p = me
+    while p in parents:
+        if "java" in names.get(p, ""):
+            jvm = p
+            break
+        p = parents[p]
+    if jvm is None:
+        return {}
+    out: dict[str, float] = {}
+    for tstat in _glob.glob(f"/proc/{jvm}/task/[0-9]*/stat"):
+        try:
+            with open(tstat) as fh:
+                head, tail = fh.read().rsplit(")", 1)
+            name = head.split("(", 1)[1]
+            f = tail.split()
+            cpu = (int(f[11]) + int(f[12])) / tick
+        except (OSError, ValueError, IndexError):
+            continue
+        key = _re.sub(r"[-#]?\d+$", "", name).strip() or "?"
+        out[key] = out.get(key, 0.0) + cpu
+    return out
+
+
 def _jvm_gc_seconds(spark) -> float:
     """Cumulative stop-the-world GC seconds of the driver JVM (local mode:
     the only JVM) via the management MXBeans — the per-round delta says
@@ -292,31 +340,52 @@ def run_worker(args) -> dict:
     cfg = EngineConfig(
         default_budget=args.budget, max_rounds=args.rounds, salt=8
     )
+    # --seen-filter bloom: route the anti-join probe through the
+    # store-backed sharded bloom filter (engine/filters.StoreBloomFilter,
+    # the flagship 10^10 acceleration structure) — same factory protocol
+    # run_crawl uses, correctness-neutral, so fetched counts must be
+    # IDENTICAL to the exact run (the comparison's determinism check).
+    factory = None
+    if args.seen_filter == "bloom":
+        from engine.filters import bloom_seen_filter_factory
+
+        factory = bloom_seen_filter_factory()
     rounds = []
     offset = 0
     for r in range(args.rounds):
+        sfilter = factory(spark, store, r) if factory else None
         tr = time.time()
         cpu0 = _tree_cpu_seconds()
         split0 = dict(_tree_cpu_seconds.last_split)
         gc0 = _jvm_gc_seconds(spark)
-        m = run_round(spark, store, r, pidx, robots, cfg, offset)
+        th0 = _jvm_thread_cpu() if args.thread_profile else {}
+        m = run_round(spark, store, r, pidx, robots, cfg, offset, sfilter)
         sec = time.time() - tr
         cpu = _tree_cpu_seconds() - cpu0
         split1 = _tree_cpu_seconds.last_split
         gc1 = _jvm_gc_seconds(spark)
         offset += m["n_selected"]
-        rounds.append(
-            {
-                "round": r,
-                "fetched": m["n_selected"],
-                "sec": round(sec, 2),
-                "cpu_core_sec": round(cpu, 1),
-                "parallel_util": round(cpu / (sec * cpus), 3),
-                "cpu_java": round(split1["java"] - split0["java"], 1),
-                "cpu_python": round(split1["python"] - split0["python"], 1),
-                "gc_sec": round(gc1 - gc0, 2),
+        row = {
+            "round": r,
+            "fetched": m["n_selected"],
+            "sec": round(sec, 2),
+            "cpu_core_sec": round(cpu, 1),
+            "parallel_util": round(cpu / (sec * cpus), 3),
+            "cpu_java": round(split1["java"] - split0["java"], 1),
+            "cpu_python": round(split1["python"] - split0["python"], 1),
+            "gc_sec": round(gc1 - gc0, 2),
+        }
+        if args.thread_profile:
+            th1 = _jvm_thread_cpu()
+            delta = {
+                k: round(v - th0.get(k, 0.0), 1)
+                for k, v in th1.items()
+                if v - th0.get(k, 0.0) >= 1.0
             }
-        )
+            row["jvm_threads"] = dict(
+                sorted(delta.items(), key=lambda kv: -kv[1])[:12]
+            )
+        rounds.append(row)
         print(
             f"[{cpus} cores] round {r}: {m['n_selected']} urls, {sec:.1f}s, "
             f"util {rounds[-1]['parallel_util']}",
@@ -335,6 +404,7 @@ def run_worker(args) -> dict:
     shutil.rmtree(store.root, ignore_errors=True)
     return {
         "cpus": cpus,
+        "seen_filter": args.seen_filter,
         "n_pages": int(n_pages),
         "warm_sec": round(warm_sec, 2),
         "bootstrap_sec": round(boot_sec, 2),
@@ -369,7 +439,8 @@ def orchestrate(args) -> int:
             os.path.abspath(__file__), "--worker",
             "--cpus", str(cpus), "--corpus", args.corpus,
             "--rounds", str(args.rounds), "--budget", str(args.budget),
-        ]
+            "--seen-filter", args.seen_filter,
+        ] + (["--thread-profile"] if args.thread_profile else [])
         if use_submit:
             # --driver-memory MUST be on the submit line: by the time the
             # builder runs, the driver JVM already exists (1g default → OOM)
@@ -583,6 +654,8 @@ def main() -> int:
     p.add_argument("--cooldown", type=int, default=45)
     p.add_argument("--out-suffix", default="")
     p.add_argument("--budget", type=int, default=500)
+    p.add_argument("--seen-filter", default="exact", choices=["exact", "bloom"])
+    p.add_argument("--thread-profile", action="store_true")
     p.add_argument("--hosts", type=int, default=256)
     p.add_argument("--mean-pages", type=int, default=1200)
     p.add_argument("--body-words", type=int, default=3000)
