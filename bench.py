@@ -185,7 +185,11 @@ def _make_spark():
     spark = get_spark(
         master=f"local[{CPUS}]",
         app_name="bench",
-        shuffle_partitions=CPUS,
+        # 3x partitions per core (the 2-4x cluster rule): at exactly 1 task
+        # per core one straggling Arrow-UDF task idles the other N-1 cores
+        # for its whole tail — measured local[16] crawl rounds 120.4 s at
+        # 1x vs 88.2 s at 3x (scripts/bench_scaling.py --shuffle-mult)
+        shuffle_partitions=CPUS * 3,
         extra={
             "spark.ui.enabled": "false",
             "spark.driver.memory": os.environ.get(

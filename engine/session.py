@@ -51,4 +51,13 @@ def get_spark(
         b = b.config(k, v)
     for k, v in (extra or {}).items():
         b = b.config(k, v)
+    # experiment escape hatch: JSON dict of config overrides, applied last
+    # (used by the bench harness for config A/B runs; never set in tests)
+    import json as _json
+    import os as _os
+
+    env_conf = _os.environ.get("SPARK_GRAFT_CONF_JSON")
+    if env_conf:
+        for k, v in _json.loads(env_conf).items():
+            b = b.config(k, str(v))
     return b.getOrCreate()

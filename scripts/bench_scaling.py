@@ -491,15 +491,24 @@ def orchestrate(args) -> int:
     # binary).  Each (lo, hi) adjacent pair yields one pairwise efficiency;
     # the reported figure is the MEDIAN of the pairwise efficiencies, with
     # every sample retained in the artifact.
+    # The substrate is calibrated PER PAIR (not once at the end): the
+    # host's own per-core retention at the wide level drifts on the same
+    # minutes timescale as the engine samples (parse-kernel eff has
+    # measured 0.73-0.84 across runs hours apart), so engine-vs-substrate
+    # is only meaningful when numerator and denominator share a window.
+    lo, hi = min(levels), max(levels)
     runs: dict[int, list[dict]] = {c: [] for c in levels}
+    pair_subs: list[dict] = []
     for s in range(args.samples):
         for cpus in levels:
             r = run_level(cpus)
             if r is None:
                 return 1
             runs[cpus].append(r)
-
-    lo, hi = min(levels), max(levels)
+        print(
+            f"calibrating substrate (pair {s}) …", file=sys.stderr, flush=True
+        )
+        pair_subs.append(substrate_eff(lo, hi, dur=10.0))
 
     def _thr(r: dict) -> float:
         return r["fetched_total"] / r["round_sec_total"]
@@ -532,8 +541,16 @@ def orchestrate(args) -> int:
         for c in levels
     }
     thr = {c: _thr(results[c]) for c in levels}
-    print("calibrating substrate …", file=sys.stderr, flush=True)
-    sub = substrate_eff(lo, hi)
+    # per-pair engine-vs-substrate: engine median-round eff of pair s
+    # normalized by the parse-kernel eff measured in the same window
+    pair_evs = [
+        round(min(1.0, e / ps["parse"]["eff"]), 3)
+        for e, ps in zip(pair_med_round_effs, pair_subs)
+        if ps["parse"]["eff"]
+    ]
+    # representative substrate = the pair whose engine totals eff is median
+    rep_pair = pair_effs.index(_median(pair_effs))
+    sub = pair_subs[rep_pair]
     parse_eff = sub["parse"]["eff"]
     report = {
         "metric": "scaling_efficiency",
@@ -548,9 +565,9 @@ def orchestrate(args) -> int:
         },
         "shuffle_mult": args.shuffle_mult,
         "substrate": sub,
-        "engine_vs_substrate": round(min(1.0, med_eff / parse_eff), 3)
-        if parse_eff
-        else None,
+        "substrate_per_pair": pair_subs,
+        "pairwise_engine_vs_substrate": pair_evs,
+        "engine_vs_substrate": _median(pair_evs) if pair_evs else None,
         "unit": f"eff_{lo}to{hi}",
         "throughput_urls_per_sec": {str(c): round(thr[c], 1) for c in levels},
         "per_core_urls_per_sec": {
@@ -660,20 +677,24 @@ def _write_md(rep: dict, path: str) -> None:
         f"(pairwise samples: totals {rep.get('pairwise_eff')}, median-round "
         f"{rep.get('pairwise_median_round_eff')})",
         "",
-        "## Substrate calibration (measured in the same run)",
+        "## Substrate calibration (measured per pair, in-window)",
         "",
         "The engine cannot out-scale its host.  Two kernels, spun",
         "standalone (no Spark) at the same two process counts, pinned to",
-        "the same core sets as the engine levels:",
+        "the same core sets as the engine levels, re-measured after EVERY",
+        "interleaved pair (the host's own wide-level retention drifts on",
+        "the same minutes timescale as the engine samples):",
         "",
         f"- sha256 (in-register compute): substrate eff {lo}→{hi} = "
-        f"**{sub.get('sha', {}).get('eff')}**",
+        f"**{sub.get('sha', {}).get('eff')}** (representative pair)",
         f"- the engine's OWN parse kernel (html_to_text + extract_links on a",
         f"  scaling-corpus page — allocation-heavy, memory-subsystem-bound):",
         f"  substrate eff {lo}→{hi} = **{sub.get('parse', {}).get('eff')}**",
         "",
-        f"Engine-vs-substrate ratio (median-round engine eff ÷ parse-kernel",
-        f"substrate eff): **{rep.get('engine_vs_substrate')}** — the",
+        f"Engine-vs-substrate ratio (per-pair median-round engine eff ÷",
+        f"same-window parse-kernel eff, median over pairs):",
+        f"**{rep.get('engine_vs_substrate')}**"
+        f" (pairs: {rep.get('pairwise_engine_vs_substrate')}) — the",
         "fraction of the host's own scaling the DataFrame pipeline retains.",
         "Per-round `parallel_util` in scaling.json (CPU-seconds of the whole",
         "process tree ÷ wall ÷ cores, from /proc) shows the Spark plan keeps",
