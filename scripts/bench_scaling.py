@@ -85,16 +85,18 @@ def _spin_parse(dur: float) -> int:
     return c
 
 
-def _pin_to(n: int) -> None:
-    """Affinity-pin the calling process (pool worker) to cores 0..n-1 —
-    the same pinning the engine levels get via taskset."""
+def _pin_to(cores) -> None:
+    """Affinity-pin the calling process (pool worker) to the given core
+    set — the same pinning the engine levels get via taskset."""
     try:
-        os.sched_setaffinity(0, set(range(n)))
+        os.sched_setaffinity(0, set(cores))
     except (AttributeError, OSError):
         pass
 
 
-def substrate_eff(lo: int, hi: int, dur: float = 20.0) -> dict:
+def substrate_eff(
+    lo: int, hi: int, dur: float = 20.0, lo_cores=None, hi_cores=None
+) -> dict:
     """Calibrate what the HOST itself can scale, with two kernels:
     sha256 (in-register compute) and the engine's real parse kernel
     (allocation/memory-bound).  The engine cannot out-scale its
@@ -105,11 +107,16 @@ def substrate_eff(lo: int, hi: int, dur: float = 20.0) -> dict:
     measured here does not exist there."""
     import multiprocessing as mp
 
+    core_sets = {
+        lo: list(lo_cores) if lo_cores is not None else list(range(lo)),
+        hi: list(hi_cores) if hi_cores is not None else list(range(hi)),
+    }
     out = {}
     for name, fn in (("sha", _spin_sha), ("parse", _spin_parse)):
         rates = {}
         for procs in (lo, hi):
-            with mp.Pool(procs, initializer=_pin_to, initargs=(procs,)) as p:
+            cores = core_sets[procs]
+            with mp.Pool(procs, initializer=_pin_to, initargs=(cores,)) as p:
                 t0 = time.time()
                 res = p.map(fn, [dur] * procs)
                 rates[procs] = sum(res) / (time.time() - t0)
@@ -327,12 +334,12 @@ def run_worker(args) -> dict:
         extract_text_udf("html"),
         extract_links_udf("html", "url"),
     ).write.format("noop").mode("overwrite").save()
-    warm_sec = time.time() - t0
 
-    # bootstrap: whole-corpus frontier in canon-hostile raw form (the canon
-    # UDF sees every url), 25% of urls pre-seen (the anti-join prunes real
-    # volume) — measured separately, not part of round throughput
-    t0 = time.time()
+    # bootstrap inputs: whole-corpus frontier in canon-hostile raw form (the
+    # canon UDF sees every url), 25% of urls pre-seen (the anti-join prunes
+    # real volume).  Deterministic and sample-invariant, so they are
+    # computed + persisted once; in --serve mode every sample recommits the
+    # same frames against a fresh store (bootstrap_sec, unmeasured).
     urls = pages.select("url").distinct()
     seeds = urls.select(
         F.concat(
@@ -348,11 +355,11 @@ def run_worker(args) -> dict:
         .filter(F.pmod(F.col("url_hash"), F.lit(4)) == 0)
         .select("url_hash", "url", F.lit(-1).alias("fetched_round"))
     )
-    store = SnapStore(tempfile.mkdtemp(prefix=f"scale{cpus}_"))
-    store.commit_state(
-        0, {"frontier": frontier_from_seeds(seeds), "seen": seen0}, {}
-    )
-    boot_sec = time.time() - t0
+    frontier0 = frontier_from_seeds(seeds).persist()
+    seen0 = seen0.persist()
+    frontier0.count()
+    seen0.count()
+    warm_sec = time.time() - t0
 
     cfg = EngineConfig(
         default_budget=args.budget, max_rounds=args.rounds, salt=8
@@ -367,70 +374,113 @@ def run_worker(args) -> dict:
         from engine.filters import bloom_seen_filter_factory
 
         factory = bloom_seen_filter_factory()
-    rounds = []
-    offset = 0
-    for r in range(args.rounds):
-        sfilter = factory(spark, store, r) if factory else None
-        tr = time.time()
-        cpu0 = _tree_cpu_seconds()
-        split0 = dict(_tree_cpu_seconds.last_split)
-        gc0 = _jvm_gc_seconds(spark)
-        th0 = _jvm_thread_cpu() if args.thread_profile else {}
-        m = run_round(spark, store, r, pidx, robots, cfg, offset, sfilter)
-        sec = time.time() - tr
-        cpu = _tree_cpu_seconds() - cpu0
-        split1 = _tree_cpu_seconds.last_split
-        gc1 = _jvm_gc_seconds(spark)
-        offset += m["n_selected"]
-        row = {
-            "round": r,
-            "fetched": m["n_selected"],
-            "sec": round(sec, 2),
-            "cpu_core_sec": round(cpu, 1),
-            "parallel_util": round(cpu / (sec * cpus), 3),
-            "cpu_java": round(split1["java"] - split0["java"], 1),
-            "cpu_python": round(split1["python"] - split0["python"], 1),
-            "gc_sec": round(gc1 - gc0, 2),
-        }
-        if args.thread_profile:
-            th1 = _jvm_thread_cpu()
-            delta = {
-                k: round(v - th0.get(k, 0.0), 1)
-                for k, v in th1.items()
-                if v - th0.get(k, 0.0) >= 1.0
-            }
-            row["jvm_threads"] = dict(
-                sorted(delta.items(), key=lambda kv: -kv[1])[:12]
-            )
-        rounds.append(row)
-        print(
-            f"[{cpus} cores] round {r}: {m['n_selected']} urls, {sec:.1f}s, "
-            f"util {rounds[-1]['parallel_util']}",
-            file=sys.stderr,
-            flush=True,
-        )
-    # split real fetches from dangling-link 404s (404s cost no extraction;
-    # reporting them as throughput would flatter the numbers)
-    lin = store.read(spark, "lineage")
+
     from pyspark.sql import functions as FF
 
-    status = {
-        r["status"]: r["n"]
-        for r in lin.groupBy("status").agg(FF.count("*").alias("n")).collect()
-    }
-    shutil.rmtree(store.root, ignore_errors=True)
-    return {
-        "cpus": cpus,
-        "seen_filter": args.seen_filter,
-        "n_pages": int(n_pages),
-        "warm_sec": round(warm_sec, 2),
-        "bootstrap_sec": round(boot_sec, 2),
-        "rounds": rounds,
-        "fetched_total": int(offset),
-        "fetched_200": int(status.get("200", 0)),
-        "fetched_404": int(status.get("404", 0)),
-        "round_sec_total": round(sum(r["sec"] for r in rounds), 2),
-    }
+    def one_sample() -> dict:
+        # fresh store per sample; bootstrap commit of the persisted
+        # frontier/seen frames is unmeasured (bootstrap_sec)
+        tb = time.time()
+        store = SnapStore(tempfile.mkdtemp(prefix=f"scale{cpus}_"))
+        store.commit_state(0, {"frontier": frontier0, "seen": seen0}, {})
+        boot_sec = time.time() - tb
+        rounds = []
+        offset = 0
+        for r in range(args.rounds):
+            sfilter = factory(spark, store, r) if factory else None
+            tr = time.time()
+            cpu0 = _tree_cpu_seconds()
+            split0 = dict(_tree_cpu_seconds.last_split)
+            gc0 = _jvm_gc_seconds(spark)
+            th0 = _jvm_thread_cpu() if args.thread_profile else {}
+            m = run_round(spark, store, r, pidx, robots, cfg, offset, sfilter)
+            sec = time.time() - tr
+            cpu = _tree_cpu_seconds() - cpu0
+            split1 = _tree_cpu_seconds.last_split
+            gc1 = _jvm_gc_seconds(spark)
+            offset += m["n_selected"]
+            row = {
+                "round": r,
+                "fetched": m["n_selected"],
+                "sec": round(sec, 2),
+                "cpu_core_sec": round(cpu, 1),
+                "parallel_util": round(cpu / (sec * cpus), 3),
+                "cpu_java": round(split1["java"] - split0["java"], 1),
+                "cpu_python": round(split1["python"] - split0["python"], 1),
+                "gc_sec": round(gc1 - gc0, 2),
+            }
+            if args.thread_profile:
+                th1 = _jvm_thread_cpu()
+                delta = {
+                    k: round(v - th0.get(k, 0.0), 1)
+                    for k, v in th1.items()
+                    if v - th0.get(k, 0.0) >= 1.0
+                }
+                row["jvm_threads"] = dict(
+                    sorted(delta.items(), key=lambda kv: -kv[1])[:12]
+                )
+            rounds.append(row)
+            print(
+                f"[{cpus} cores] round {r}: {m['n_selected']} urls, "
+                f"{sec:.1f}s, util {rounds[-1]['parallel_util']}",
+                file=sys.stderr,
+                flush=True,
+            )
+        # split real fetches from dangling-link 404s (404s cost no
+        # extraction; reporting them as throughput would flatter the numbers)
+        lin = store.read(spark, "lineage")
+        status = {
+            r["status"]: r["n"]
+            for r in lin.groupBy("status")
+            .agg(FF.count("*").alias("n"))
+            .collect()
+        }
+        shutil.rmtree(store.root, ignore_errors=True)
+        return {
+            "cpus": cpus,
+            "seen_filter": args.seen_filter,
+            "n_pages": int(n_pages),
+            "warm_sec": round(warm_sec, 2),
+            "bootstrap_sec": round(boot_sec, 2),
+            "rounds": rounds,
+            "fetched_total": int(offset),
+            "fetched_200": int(status.get("200", 0)),
+            "fetched_404": int(status.get("404", 0)),
+            "round_sec_total": round(sum(r["sec"] for r in rounds), 2),
+        }
+
+    if not args.serve:
+        return one_sample()
+    # --serve: resident-worker protocol.  The JVM (and its cached pidx +
+    # warmed python workers) stays alive across samples; the orchestrator
+    # alternates RUN between the lo and hi resident workers so each
+    # (lo, hi) sample pair is measured minutes — not tens of minutes —
+    # apart on this drifting host, and the warm-up is paid once.  The
+    # control channel is the FILESYSTEM (cmd_<k> / result_<k>.json in
+    # --ctl-dir): spark-submit's PythonRunner does not forward the JVM's
+    # stdin to the python app, so a stdin protocol never wakes up.
+    os.makedirs(args.ctl_dir, exist_ok=True)
+    ready_tmp = os.path.join(args.ctl_dir, "ready.json.tmp")
+    with open(ready_tmp, "w") as fh:
+        json.dump({"cpus": cpus, "warm_sec": round(warm_sec, 2)}, fh)
+    os.rename(ready_tmp, os.path.join(args.ctl_dir, "ready.json"))
+    k = 0
+    while True:
+        cmd_path = os.path.join(args.ctl_dir, f"cmd_{k}")
+        if not os.path.exists(cmd_path):
+            time.sleep(0.2)
+            continue
+        with open(cmd_path) as fh:
+            cmd = fh.read().strip()
+        if cmd == "EXIT":
+            break
+        res = one_sample()
+        res_tmp = os.path.join(args.ctl_dir, f"result_{k}.json.tmp")
+        with open(res_tmp, "w") as fh:
+            json.dump(res, fh)
+        os.rename(res_tmp, os.path.join(args.ctl_dir, f"result_{k}.json"))
+        k += 1
+    return None
 
 
 def orchestrate(args) -> int:
@@ -496,19 +546,145 @@ def orchestrate(args) -> int:
     # minutes timescale as the engine samples (parse-kernel eff has
     # measured 0.73-0.84 across runs hours apart), so engine-vs-substrate
     # is only meaningful when numerator and denominator share a window.
+    #
+    # RESIDENT mode (default): both levels' workers are spawned ONCE, on
+    # DISJOINT pinned core sets (lo on cores 0..lo-1, hi on lo..lo+hi-1),
+    # warm up their cached pages index, then alternate measured samples on
+    # command (stdin RUN → stdout RESULT).  This (a) pays the multi-minute
+    # unmeasured warm-up once per level instead of once per sample, so a
+    # (lo, hi) pair completes minutes apart instead of tens of minutes,
+    # and (b) matches a real long-running crawl, which amortizes JVM/
+    # python-worker startup exactly this way.  The idle JVM parks on its
+    # own cores and consumes ~0 CPU while the other level measures.
+    # Substrate kernels are pinned to the SAME disjoint core sets.
     lo, hi = min(levels), max(levels)
+    # sequential mode runs one level at a time on cores 0..N-1; resident
+    # mode parks both workers on disjoint sets
+    core_of = {lo: 0, hi: 0 if args.sequential else lo}
     runs: dict[int, list[dict]] = {c: [] for c in levels}
     pair_subs: list[dict] = []
-    for s in range(args.samples):
-        for cpus in levels:
-            r = run_level(cpus)
-            if r is None:
-                return 1
-            runs[cpus].append(r)
-        print(
-            f"calibrating substrate (pair {s}) …", file=sys.stderr, flush=True
-        )
-        pair_subs.append(substrate_eff(lo, hi, dur=10.0))
+
+    def _await_file(p, path: str, log_path: str, timeout_s: float = 3600):
+        t0 = time.time()
+        while not os.path.exists(path):
+            if p.poll() is not None:
+                raise RuntimeError(
+                    f"resident worker exited early (see {log_path})"
+                )
+            if time.time() - t0 > timeout_s:
+                raise RuntimeError(f"timed out waiting for {path}")
+            time.sleep(0.2)
+        with open(path) as fh:
+            return json.load(fh)
+
+    if not args.sequential:
+        import tempfile as _tf
+
+        procs, logs, ctls = {}, {}, {}
+        kidx = {c: 0 for c in levels}
+        try:
+            for cpus in (lo, hi):  # lo first: builds the pidx cache solo
+                ctl = _tf.mkdtemp(prefix=f"scalectl{cpus}_")
+                ctls[cpus] = ctl
+                worker_args = [
+                    os.path.abspath(__file__), "--worker", "--serve",
+                    "--ctl-dir", ctl,
+                    "--cpus", str(cpus), "--corpus", args.corpus,
+                    "--rounds", str(args.rounds),
+                    "--budget", str(args.budget),
+                    "--seen-filter", args.seen_filter,
+                    "--shuffle-mult", str(args.shuffle_mult),
+                ] + (["--thread-profile"] if args.thread_profile else [])
+                if use_submit:
+                    # two resident JVMs share the box: 40g each, not 56g
+                    cmd = [
+                        "spark-submit", "--master", f"local[{cpus}]",
+                        "--driver-memory", "40g",
+                        "--py-files", zip_path, *worker_args,
+                    ]
+                else:
+                    cmd = [sys.executable, *worker_args]
+                if shutil.which("taskset"):
+                    c0 = core_of[cpus]
+                    cmd = ["taskset", "-c", f"{c0}-{c0 + cpus - 1}", *cmd]
+                log_path = f"/tmp/spark_graft_bench/resident_{cpus}.log"
+                logs[cpus] = log_path
+                procs[cpus] = subprocess.Popen(
+                    cmd,
+                    stdout=open(log_path, "ab"),
+                    stderr=subprocess.STDOUT,
+                    cwd=REPO,
+                )
+                ready = _await_file(
+                    procs[cpus],
+                    os.path.join(ctl, "ready.json"),
+                    log_path,
+                )
+                print(
+                    f"resident local[{cpus}] ready on cores "
+                    f"{core_of[cpus]}-{core_of[cpus] + cpus - 1} "
+                    f"(warm {ready['warm_sec']}s)",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            for s in range(args.samples):
+                for cpus in (lo, hi):
+                    k = kidx[cpus]
+                    with open(
+                        os.path.join(ctls[cpus], f"cmd_{k}"), "w"
+                    ) as fh:
+                        fh.write("RUN")
+                    r = _await_file(
+                        procs[cpus],
+                        os.path.join(ctls[cpus], f"result_{k}.json"),
+                        logs[cpus],
+                    )
+                    kidx[cpus] += 1
+                    runs[cpus].append(r)
+                    print(
+                        f"pair {s} level {cpus}: rounds "
+                        f"{r['round_sec_total']}s",
+                        file=sys.stderr,
+                        flush=True,
+                    )
+                print(
+                    f"calibrating substrate (pair {s}) …",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                pair_subs.append(
+                    substrate_eff(
+                        lo,
+                        hi,
+                        dur=10.0,
+                        lo_cores=range(core_of[lo], core_of[lo] + lo),
+                        hi_cores=range(core_of[hi], core_of[hi] + hi),
+                    )
+                )
+        finally:
+            for cpus, p in procs.items():
+                try:
+                    with open(
+                        os.path.join(ctls[cpus], f"cmd_{kidx[cpus]}"), "w"
+                    ) as fh:
+                        fh.write("EXIT")
+                    p.wait(timeout=120)
+                except Exception:
+                    p.kill()
+                shutil.rmtree(ctls[cpus], ignore_errors=True)
+    else:
+        for s in range(args.samples):
+            for cpus in levels:
+                r = run_level(cpus)
+                if r is None:
+                    return 1
+                runs[cpus].append(r)
+            print(
+                f"calibrating substrate (pair {s}) …",
+                file=sys.stderr,
+                flush=True,
+            )
+            pair_subs.append(substrate_eff(lo, hi, dur=10.0))
 
     def _thr(r: dict) -> float:
         return r["fetched_total"] / r["round_sec_total"]
@@ -558,6 +734,14 @@ def orchestrate(args) -> int:
         "value": round(eff, 3),
         "median_round_eff": round(med_eff, 3),
         "samples": args.samples,
+        "protocol": (
+            "sequential_fresh_jvm"
+            if args.sequential
+            else "resident_paired_workers"
+        ),
+        "core_sets": {
+            str(c): f"{core_of[c]}-{core_of[c] + c - 1}" for c in levels
+        },
         "pairwise_eff": pair_effs,
         "pairwise_median_round_eff": pair_med_round_effs,
         "sample_round_sec_totals": {
@@ -631,6 +815,14 @@ def _write_md(rep: dict, path: str) -> None:
         "  this drifting co-tenanted VM; the reported efficiency is the",
         "  median of the pairwise efficiencies, all samples retained in the",
         "  json artifact",
+        f"- protocol: {rep.get('protocol', 'sequential_fresh_jvm')} — in",
+        "  resident mode both levels' workers live for the whole run on",
+        f"  DISJOINT pinned core sets ({rep.get('core_sets')}), warmed once,",
+        "  and alternate measured samples on command, so each (lo,hi) pair",
+        "  is measured minutes apart (a fresh JVM per sample put levels",
+        "  10+ min apart — wide enough for host drift to masquerade as",
+        "  engine scaling); this is also how a real long-running crawl",
+        "  amortizes startup",
         "",
         "## Results (representative = median sample per level)",
         "",
@@ -739,6 +931,12 @@ def _write_md(rep: dict, path: str) -> None:
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--worker", action="store_true")
+    # resident-worker protocol: stay alive, run a sample per stdin RUN
+    p.add_argument("--serve", action="store_true")
+    p.add_argument("--ctl-dir", default="/tmp/spark_graft_bench/ctl")
+    # legacy fresh-JVM-per-sample orchestration (one spark-submit per
+    # level per sample, levels 10+ minutes apart — drift-prone)
+    p.add_argument("--sequential", action="store_true")
     p.add_argument("--cpus", type=int, default=32)
     p.add_argument("--corpus", default=DEFAULT_CORPUS)
     p.add_argument("--levels", default="2,8")
@@ -764,7 +962,9 @@ def main() -> int:
     p.add_argument("--body-words", type=int, default=3000)
     args = p.parse_args()
     if args.worker:
-        print(json.dumps(run_worker(args)))
+        res = run_worker(args)
+        if res is not None:  # --serve prints RESULT lines itself
+            print(json.dumps(res))
         return 0
     return orchestrate(args)
 
