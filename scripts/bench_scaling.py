@@ -559,10 +559,24 @@ def orchestrate(args) -> int:
     # Substrate kernels are pinned to the SAME disjoint core sets.
     lo, hi = min(levels), max(levels)
     # sequential mode runs one level at a time on cores 0..N-1; resident
-    # mode parks both workers on disjoint sets
-    core_of = {lo: 0, hi: 0 if args.sequential else lo}
+    # mode parks both workers on disjoint sets, optionally offset past the
+    # low cores where timer/IRQ work and the orchestrator live
+    off = 0 if args.sequential else args.core_offset
+    core_of = {lo: off, hi: off if args.sequential else off + lo}
     runs: dict[int, list[dict]] = {c: [] for c in levels}
+    warm_runs: dict[int, list[dict]] = {c: [] for c in levels}
     pair_subs: list[dict] = []
+    # keep the orchestrator (and anything it forks un-pinned) off the
+    # measurement cores; worker/substrate children re-pin themselves
+    if not args.sequential:
+        spare = set(range(os.cpu_count())) - set(
+            range(off, off + lo + hi)
+        )
+        if spare:
+            try:
+                os.sched_setaffinity(0, spare)
+            except OSError:
+                pass
 
     def _await_file(p, path: str, log_path: str, timeout_s: float = 3600):
         t0 = time.time()
@@ -627,6 +641,28 @@ def orchestrate(args) -> int:
                     file=sys.stderr,
                     flush=True,
                 )
+            # discarded warm pairs: the wide worker's first full crawl is
+            # still JIT/page-cache warming even after the UDF touch
+            for w in range(args.warm_pairs):
+                for cpus in (lo, hi):
+                    k = kidx[cpus]
+                    with open(
+                        os.path.join(ctls[cpus], f"cmd_{k}"), "w"
+                    ) as fh:
+                        fh.write("RUN")
+                    r = _await_file(
+                        procs[cpus],
+                        os.path.join(ctls[cpus], f"result_{k}.json"),
+                        logs[cpus],
+                    )
+                    kidx[cpus] += 1
+                    warm_runs[cpus].append(r)
+                    print(
+                        f"warm pair {w} level {cpus}: rounds "
+                        f"{r['round_sec_total']}s (discarded)",
+                        file=sys.stderr,
+                        flush=True,
+                    )
             for s in range(args.samples):
                 for cpus in (lo, hi):
                     k = kidx[cpus]
@@ -746,6 +782,12 @@ def orchestrate(args) -> int:
         "pairwise_median_round_eff": pair_med_round_effs,
         "sample_round_sec_totals": {
             str(c): [r["round_sec_total"] for r in runs[c]] for c in levels
+        },
+        "warm_pairs": args.warm_pairs if not args.sequential else 0,
+        "warm_round_sec_totals": {
+            str(c): [r["round_sec_total"] for r in warm_runs[c]]
+            for c in levels
+            if warm_runs[c]
         },
         "shuffle_mult": args.shuffle_mult,
         "substrate": sub,
@@ -957,6 +999,16 @@ def main() -> int:
     # interleaved samples per level (lo,hi,lo,hi,…); median of the
     # pairwise efficiencies is reported
     p.add_argument("--samples", type=int, default=3)
+    # discarded warm sample pairs before the measured ones (resident mode):
+    # the wide resident worker keeps JIT/page-cache warming through its
+    # first full crawl even after the UDF-touch warm-up — measured
+    # 177→93→74→67 s across four 16-core samples with the first one
+    # clearly still warming.  A real long-running crawl amortizes this.
+    p.add_argument("--warm-pairs", type=int, default=1)
+    # first core of the worker core block: cores 0..offset-1 are left to
+    # the OS (timer/IRQ work lands on low cores) and the orchestrator,
+    # which otherwise time-share with the lo level's 4 pinned cores
+    p.add_argument("--core-offset", type=int, default=0)
     p.add_argument("--hosts", type=int, default=256)
     p.add_argument("--mean-pages", type=int, default=1200)
     p.add_argument("--body-words", type=int, default=3000)
