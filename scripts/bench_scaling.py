@@ -563,15 +563,22 @@ def orchestrate(args) -> int:
     # low cores where timer/IRQ work and the orchestrator live
     off = 0 if args.sequential else args.core_offset
     core_of = {lo: off, hi: off if args.sequential else off + lo}
+    if not args.sequential:
+        if args.lo_core0 is not None:
+            core_of[lo] = args.lo_core0
+        if args.hi_core0 is not None:
+            core_of[hi] = args.hi_core0
+        lo_set = set(range(core_of[lo], core_of[lo] + lo))
+        hi_set = set(range(core_of[hi], core_of[hi] + hi))
+        if lo_set & hi_set:
+            raise SystemExit("lo/hi core sets overlap")
     runs: dict[int, list[dict]] = {c: [] for c in levels}
     warm_runs: dict[int, list[dict]] = {c: [] for c in levels}
     pair_subs: list[dict] = []
     # keep the orchestrator (and anything it forks un-pinned) off the
     # measurement cores; worker/substrate children re-pin themselves
     if not args.sequential:
-        spare = set(range(os.cpu_count())) - set(
-            range(off, off + lo + hi)
-        )
+        spare = set(range(os.cpu_count())) - lo_set - hi_set
         if spare:
             try:
                 os.sched_setaffinity(0, spare)
@@ -989,18 +996,22 @@ def _write_md(rep: dict, path: str) -> None:
             f"{d.get('engine_vs_substrate')} |"
         )
 
-    hist = [
-        r
-        for r in (
-            _sample_row("s1 headline", "scaling.json"),
-            _sample_row("s2", "scaling_s2.json"),
-            _sample_row("s3", "scaling_s3.json"),
-            _sample_row("s4", "scaling_s4.json"),
-            _sample_row("4→16 r1", "scaling_4to16_r1.json"),
-            _sample_row("4→16 current", "scaling_4to16.json"),
-        )
-        if r
+    import glob as _glob
+
+    named = [
+        ("s1 headline", "scaling.json"),
+        ("s2", "scaling_s2.json"),
+        ("s3", "scaling_s3.json"),
+        ("s4", "scaling_s4.json"),
     ]
+    for fp in sorted(
+        _glob.glob(os.path.join(bench_dir, "scaling_4to16_r*.json"))
+    ):
+        fn = os.path.basename(fp)
+        tag = "4→16 " + fn[len("scaling_4to16_") : -len(".json")]
+        named.append((tag, fn))
+    named.append(("4→16 current", "scaling_4to16.json"))
+    hist = [r for r in (_sample_row(t, f) for t, f in named) if r]
     if hist:
         lines += [
             "",
@@ -1090,6 +1101,12 @@ def main() -> int:
     # the OS (timer/IRQ work lands on low cores) and the orchestrator,
     # which otherwise time-share with the lo level's 4 pinned cores
     p.add_argument("--core-offset", type=int, default=0)
+    # explicit per-level placement (overrides --core-offset): this VM's
+    # vCPUs are not interchangeable — measured steady-state 16-core rounds
+    # are ~67-74 s on cores 4-19 but 74-104 s on cores 16-31, and cores
+    # 0-3 (IRQ/timer targets) made the 4-core level bimodal (208-350 s)
+    p.add_argument("--lo-core0", type=int, default=None)
+    p.add_argument("--hi-core0", type=int, default=None)
     p.add_argument("--hosts", type=int, default=256)
     p.add_argument("--mean-pages", type=int, default=1200)
     p.add_argument("--body-words", type=int, default=3000)
