@@ -29,6 +29,10 @@ ENGINE_CONFS = {
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # parquet scan vectorization is on by default; keep explicit
     "spark.sql.parquet.enableVectorizedReader": "true",
+    # gate the per-task importlib.invalidate_caches() zip-directory re-read
+    # (engine/fastdaemon.py — measured 0.25-0.7 s of Python CPU per task,
+    # the dominant wide-parallelism tax in BENCH/scaling_4to16.json)
+    "spark.python.daemon.module": "engine.fastdaemon",
 }
 
 
@@ -49,6 +53,18 @@ def get_spark(
     b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in ENGINE_CONFS.items():
         b = b.config(k, v)
+    # the daemon process imports engine.fastdaemon BEFORE py-files setup,
+    # so the package root must be on the worker python path (cluster
+    # equivalent: --conf spark.executorEnv.PYTHONPATH=engine.zip)
+    import os as _os
+
+    _repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    _worker_pp = _os.pathsep.join(
+        p
+        for p in [_repo_root, _os.environ.get("PYTHONPATH", "")]
+        if p
+    )
+    b = b.config("spark.executorEnv.PYTHONPATH", _worker_pp)
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     # experiment escape hatch: JSON dict of config overrides, applied last
