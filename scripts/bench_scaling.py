@@ -1047,16 +1047,23 @@ def _write_md(rep: dict, path: str) -> None:
         "  and median-round efficiencies are both reported.",
         "- Host-side run-to-run variance grows sharply with thread count on",
         "  this shared VM (the identical pinned 16-thread round-0 has",
-        "  measured 43-81 s across runs an hour apart).  Round 3 closed the",
-        "  previously-reported 4→16 hole (0.40) with two changes: (a) the",
-        "  0.40 artifact compared levels run ~10 minutes apart on a drifting",
-        "  host — the interleaved pairwise protocol above removes that bias;",
-        "  (b) at 1 task per core a straggling Arrow-UDF task idled the",
-        "  other 15 cores (parallel_util 0.73-0.80 at local[16]) — 3x",
-        "  over-partitioning restores dynamic scheduling.  Per-round CPU",
-        "  profiling (cpu_java/cpu_python/gc_sec/jvm_threads fields in the",
-        "  json) shows no engine-side CPU inflation beyond what the",
-        "  substrate parse kernel itself suffers at the same core counts.",
+        "  measured 43-81 s across runs an hour apart).  Round 3 attacked",
+        "  the previously-reported 4→16 hole (0.40) with three changes:",
+        "  (a) the 0.40 artifact compared levels run ~10 minutes apart on a",
+        "  drifting host — the interleaved pairwise protocol above removes",
+        "  that bias; (b) at 1 task per core a straggling Arrow-UDF task",
+        "  idled the other 15 cores (parallel_util 0.73-0.80 at local[16])",
+        "  — 3x over-partitioning restores dynamic scheduling; (c) per-round",
+        "  CPU profiling (cpu_java/cpu_python fields in the json) exposed a",
+        "  REAL engine-side per-task tax: Spark's Python worker re-reads the",
+        "  central directory of every zip on sys.path on EVERY task",
+        "  (importlib.invalidate_caches() in pyspark worker_util's",
+        "  setup_spark_files — profiled at 0.25-0.7 s of CPU per task, 99.7%",
+        "  of a trivial pandas-UDF task), a cost linear in task count and so",
+        "  in core count.  engine/fastdaemon.py gates that flush on a",
+        "  sys.path+zip-stat signature (documented",
+        "  spark.python.daemon.module extension point): warm per-task Python",
+        "  CPU 257→45 ms, 48-task stage wall 1.19→0.65 s.",
     ]
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
