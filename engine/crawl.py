@@ -304,9 +304,14 @@ def run_round(
             (F.col("depth") + 1).alias("depth"),
             F.explode("links").alias("url"),
         )
-        # same CPU-vs-bytes story as extraction: spread the exploded links
-        # across all cores before the canon+hash Arrow UDF
-        .repartition(n_par, "url")
+        # the canon+hash UDF runs MAP-SIDE on the exploded links: ext is
+        # already hash-spread across n_par partitions (step 4's repartition
+        # on url_hash), so per-partition link counts are balanced and no
+        # exchange is needed before the UDF — the exploded stream crosses
+        # exactly ONE shuffle (the url_hash exchange feeding the anti-join
+        # and frontier lattice merge below), not two.  (An earlier revision
+        # repartitioned by url here; that predates ext's even
+        # pre-partitioning and doubled the widest per-round shuffle.)
         .withColumn("url_hash", hash64_udf("url"))
     )
     kids = with_host(kids).select(
