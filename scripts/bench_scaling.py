@@ -289,10 +289,23 @@ def run_worker(args) -> dict:
     from engine.udfs import hash64_udf
 
     cpus = args.cpus
+    # Partition protocol: --partitions N pins the SAME shuffle-partition
+    # count at every level — the cluster-faithful reading of "the same job
+    # at two cluster sizes".  On a real cluster the shuffle partitioning is
+    # data-driven (AQE sizes partitions by bytes; the table's bucketing
+    # does not change when executors are added), so scaling N→4N executors
+    # re-schedules the SAME tasks wider, it does not quadruple the task
+    # count.  The legacy per-core mode (partitions=0 → cpus*shuffle_mult)
+    # makes the 4N level pay 4x the per-task fixed cost (task deser, codegen
+    # lookup, shuffle writer setup, Arrow stream + UDF unpickle per python
+    # task) for identical data — measured at 16 vs 4 cores as +35 JVM
+    # core-sec and +30 python core-sec per small round, i.e. a protocol
+    # artifact, not an engine scaling property.
+    n_shuffle = args.partitions or cpus * args.shuffle_mult
     spark = get_spark(
         master=f"local[{cpus}]",
         app_name=f"scaling-{cpus}",
-        shuffle_partitions=cpus * args.shuffle_mult,
+        shuffle_partitions=n_shuffle,
         extra={
             "spark.ui.enabled": "false",
             "spark.driver.memory": "56g",
@@ -507,6 +520,7 @@ def orchestrate(args) -> int:
             "--rounds", str(args.rounds), "--budget", str(args.budget),
             "--seen-filter", args.seen_filter,
             "--shuffle-mult", str(args.shuffle_mult),
+            "--partitions", str(args.partitions),
         ] + (["--thread-profile"] if args.thread_profile else [])
         if use_submit:
             # --driver-memory MUST be on the submit line: by the time the
@@ -615,6 +629,7 @@ def orchestrate(args) -> int:
                     "--budget", str(args.budget),
                     "--seen-filter", args.seen_filter,
                     "--shuffle-mult", str(args.shuffle_mult),
+                    "--partitions", str(args.partitions),
                 ] + (["--thread-profile"] if args.thread_profile else [])
                 if use_submit:
                     # two resident JVMs share the box: 40g each, not 56g
@@ -797,6 +812,7 @@ def orchestrate(args) -> int:
             if warm_runs[c]
         },
         "shuffle_mult": args.shuffle_mult,
+        "partitions": args.partitions,
         "substrate": sub,
         "substrate_per_pair": pair_subs,
         "pairwise_engine_vs_substrate": pair_evs,
@@ -857,8 +873,14 @@ def _write_md(rep: dict, path: str) -> None:
         "  extraction, frontier lattice merge, manifest-last snapshot commit",
         "- unmeasured warm-up: pages-index build+cache (round-invariant; on a",
         "  cluster it is a one-time bucketed Iceberg write)",
-        f"- {rep.get('shuffle_mult', 1)}x partitions per core (stage-tail "
-        "smoothing — the 2-4x cluster rule)",
+        (
+            f"- {rep['partitions']} shuffle partitions at BOTH levels "
+            "(data-driven, level-invariant — the cluster protocol: AQE "
+            "sizes partitions by bytes, not core count)"
+            if rep.get("partitions")
+            else f"- {rep.get('shuffle_mult', 1)}x partitions per core "
+            "(stage-tail smoothing — the 2-4x cluster rule)"
+        ),
     ]
     if rep.get("samples"):
         lines += [
@@ -1095,6 +1117,11 @@ def main() -> int:
     # rounds), while local[4] is unchanged (315 vs 319 s).  Stage-tail
     # smoothing is exactly what grows with parallelism.
     p.add_argument("--shuffle-mult", type=int, default=3)
+    # fixed level-invariant shuffle-partition count (0 = cpus*shuffle_mult).
+    # For the 4→16 pair use 48: the measured round-0 shuffle moves ~6 GB of
+    # uncompressed html (307k pages x ~20 KB), and AQE's 128 MB advisory
+    # target puts that at ~48 partitions — data-driven, same at both levels.
+    p.add_argument("--partitions", type=int, default=0)
     # interleaved samples per level (lo,hi,lo,hi,…); median of the
     # pairwise efficiencies is reported
     p.add_argument("--samples", type=int, default=3)
