@@ -936,6 +936,17 @@ def _write_md(rep: dict, path: str) -> None:
             f"budget {m['budget_per_host']}) | {ml['fetched_total']:,} | "
             f"{ml['round_sec_total']} | {m['value']} | {m['per_core']} |",
         ]
+    mb_path = os.path.join(os.path.dirname(path), "m_crawl_bloom.json")
+    mb = None
+    if m is not None and os.path.exists(mb_path):
+        with open(mb_path) as fh:
+            mb = json.load(fh)
+        mbl = mb["level"]
+        lines += [
+            f"| local[{mb['cpus']}] (M corpus, BLOOM seen-filter) | "
+            f"{mbl['fetched_total']:,} | {mbl['round_sec_total']} | "
+            f"{mb['value']} | {mb['per_core']} |",
+        ]
     if m is not None:
         lines += [
             "",
@@ -946,6 +957,35 @@ def _write_md(rep: dict, path: str) -> None:
             "two-phase range-partitioned fetch_seq, append-only seen deltas,",
             "and manifest-carried offsets at 3x the scaling corpus.",
             "Per-round detail in `BENCH/m_crawl.json`.",
+        ]
+    if mb is not None and m is not None:
+        same_fetch = (
+            mb["level"]["fetched_total"] == m["level"]["fetched_total"]
+        )
+        lines += [
+            "",
+            "The BLOOM row runs the identical M crawl with the anti-join",
+            "probe routed through the store-backed sharded bloom filter",
+            "(engine/filters.StoreBloomFilter via bloom_seen_filter_factory:",
+            "append-only per-round delta layers, periodic full compaction,",
+            "bucket-cogroup probes — no shard bytes through the driver or",
+            "task closures), exact anti-join only on the maybe-seen",
+            "residue.  Fetched-url counts are "
+            + ("IDENTICAL" if same_fetch else "**DIFFERENT — BUG**")
+            + " across modes (bloom filters",
+            "prune, never decide).  Measured bloom/exact throughput ratio:"
+            f" **{round(mb['value'] / m['value'], 3)}** (warm-vs-warm:",
+            "the FIRST exact run after corpus generation measured 2,611",
+            "urls/s against bloom's 4,539 — a 1.74x artifact of cold page",
+            "cache on the 1M-page parquet, retained as",
+            "`m_crawl_exact_cold.json`; the headline exact row is the",
+            "warm re-run, same fetched counts).",
+            "At this M scale both sides of the anti-join fit in memory, so",
+            "the local ratio mostly prices the probe's own overhead; the",
+            "structure's payoff is the 10^10 design point where the exact",
+            "seen table is TBs and the bloom pass prunes the frontier",
+            "before any exchange against it (SURVEY.md §2 group E).",
+            "Per-round detail in `BENCH/m_crawl_bloom.json`.",
         ]
     sub = rep.get("substrate", {})
     lines += [
