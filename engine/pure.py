@@ -22,7 +22,9 @@ no dict-order dependence in outputs (all collections sorted before emit).
 from __future__ import annotations
 
 import hashlib
+import re
 import struct
+from html import unescape
 from html.parser import HTMLParser
 from urllib.parse import urljoin, urlsplit
 
@@ -245,6 +247,120 @@ class _TextExtractor(HTMLParser):
         return "\n".join(self._blocks)
 
 
+# --- fast-path scanner -----------------------------------------------------
+#
+# The extractor dialect is PINNED to stdlib html.parser semantics (the class
+# above is the reference implementation), but html.parser costs ~9 ms per
+# ~29 KB markup-dense page — and parsing is ~90% of the crawl round's CPU
+# (BENCH/scaling_4to16.json cpu_python).  The scanner below computes the
+# identical result with a handful of C-level regex passes for pages inside a
+# strictly GUARDED dialect subset, and returns None (→ callers run the
+# HTMLParser reference path) the moment a page steps outside it.  Every
+# guard is conservative: comments/declarations/PIs, single-quoted or
+# unquoted attribute values, '>' or '<' inside quoted values, any '&' in
+# text data (charref chunk-boundary semantics), leftover/self-closed/nested
+# script-style, NUL bytes, malformed tags — all fall back.  Equivalence
+# fast-vs-reference is asserted on every fixture page plus adversarial and
+# hypothesis-generated inputs in tests/test_pure_fast.py.
+
+# one well-formed tag: start tag with only double-quoted (no '<'/'>')
+# attribute values and optional self-slash, or a bare end tag.  Consumes
+# exactly one '<' and contains none after it — so sub('') leaving no '<'
+# proves every '<' in the page opened a well-formed tag.
+_FAST_TAG_RE = re.compile(
+    r"<(?:"
+    r"[a-zA-Z][a-zA-Z0-9]*"
+    r'(?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*(?:\s*=\s*"[^\"<>\x01]*")?)*'
+    r"\s*/?"
+    r"|"
+    r"/[a-zA-Z][a-zA-Z0-9]*\s*"
+    r")>"
+)
+# script/style cdata span: open tag (NOT self-closed) through the FIRST
+# matching close tag — html.parser's cdata mode ends at the first
+# '</\s*{elem}\s*>' too (a '</scriptfoo>' does not end it on either side)
+_FAST_SKIP_SPAN_RE = re.compile(
+    r"<(script|style)(?=[\s/>])[^>]*(?<!/)>.*?</\s*\1\s*>",
+    re.I | re.S,
+)
+_FAST_SKIP_LEFT_RE = re.compile(r"</?\s*(?:script|style)(?=[\s/>])", re.I)
+# block-tag matcher, twice: a case-insensitive general form, and a
+# first-letter-grouped case-sensitive form ~3x faster on the hot path
+# (chosen when the page provably contains no uppercase tag names).
+# tests/test_pure_fast.py::test_block_regexes_agree pins the two to the
+# exact same tag-name set.
+_FAST_BLOCK_CI_RE = re.compile(
+    r"</?(?:" + "|".join(sorted(_BLOCK_TAGS)) + r")(?=[\s/>])[^<>]*>",
+    re.I,
+)
+_FAST_BLOCK_CS_RE = re.compile(
+    r"</?(?:"
+    r"h(?:tml|ead(?:er)?|r|[1-6])"
+    r"|b(?:ody|lockquote|r)"
+    r"|t(?:itle|able|head|body|r|d|h)"
+    r"|d(?:iv|l|t|d)"
+    r"|p(?:re)?"
+    r"|ul|ol|li|section|nav|main"
+    r"|a(?:rticle|side)"
+    r"|f(?:ooter|orm|ig(?:ure|caption))"
+    r")(?=[\s/>])[^<>]*>"
+)
+_FAST_UPPER_TAG_RE = re.compile(r"<[/]?[a-zA-Z0-9]*[A-Z]")
+# attr-less tags — the overwhelming majority on a markup-dense page; a
+# cheap first guard pass so the expensive strict pattern only scans the
+# residue that actually carries attributes
+_FAST_SIMPLE_TAG_RE = re.compile(r"</?[a-zA-Z][a-zA-Z0-9]*\s*/?>")
+# after the strict guard every tag span is '<' .. first '>' with no
+# '<'/'>' inside, so inline removal needs no alternation at all
+_FAST_ANY_TAG_RE = re.compile(r"<[^>]*>")
+_FAST_A_RE = re.compile(r"<a(?=[\s/>])[^>]*>", re.I)
+_FAST_HREF_RE = re.compile(r'\shref\s*=\s*"([^"]*)"', re.I)
+
+
+def _fast_scan(html: str) -> tuple[str, list[str]] | None:
+    """(text, raw hrefs) for pages inside the guarded dialect subset,
+    else None → caller must run the HTMLParser reference path."""
+    if "\x00" in html or "\x01" in html:
+        return None
+    stripped = _FAST_SKIP_SPAN_RE.sub("", html)
+    if _FAST_SKIP_LEFT_RE.search(stripped):
+        # unmatched / self-closed / nested script-style → reference path
+        return None
+    # strictness guard: every '<' must open a well-formed tag (html.parser
+    # emits tags with malformed attribute quoting as DATA — e.g. an
+    # unclosed '="' — so tolerant matching here would silently diverge;
+    # the strict pattern validates quote structure).  Two tiers purely for
+    # speed: sub out the attr-less tags first, then strict-validate the
+    # few attribute-carrying tags in the residue.  The placeholder \x01
+    # (guarded absent from the input, and excluded from the strict
+    # pattern's value class) keeps removal from splicing adjacent text
+    # into a fake well-formed tag.
+    rest = _FAST_TAG_RE.sub("", _FAST_SIMPLE_TAG_RE.sub("\x01", stripped))
+    if "<" in rest or "&" in rest:
+        # malformed tag somewhere, or charrefs in text data (whose
+        # per-chunk unescape semantics we don't reproduce) → reference
+        return None
+    hrefs: list[str] = []
+    for m in _FAST_A_RE.finditer(stripped):
+        tag = m.group(0)
+        for hm in _FAST_HREF_RE.finditer(tag):
+            v = hm.group(1)
+            if v:
+                hrefs.append(unescape(v) if "&" in v else v)
+    block_re = (
+        _FAST_BLOCK_CI_RE
+        if _FAST_UPPER_TAG_RE.search(stripped)
+        else _FAST_BLOCK_CS_RE
+    )
+    text_src = _FAST_ANY_TAG_RE.sub("", block_re.sub("\x00", stripped))
+    blocks: list[str] = []
+    for seg in text_src.split("\x00"):
+        collapsed = " ".join(seg.split())
+        if collapsed:
+            blocks.append(collapsed)
+    return "\n".join(blocks), hrefs
+
+
 def html_to_text(html: bytes | str | None) -> str | None:
     """Pinned extractor dialect (SURVEY.md §2 F3): stdlib ``html.parser``,
     script/style dropped, whitespace runs collapsed to single spaces,
@@ -253,6 +369,9 @@ def html_to_text(html: bytes | str | None) -> str | None:
         return None
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", "replace")
+    fast = _fast_scan(html)
+    if fast is not None:
+        return fast[0]
     p = _TextExtractor()
     p.feed(html)
     p.close()
@@ -339,6 +458,9 @@ def extract_text_and_links(
         return None, None
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", "replace")
+    fast = _fast_scan(html)
+    if fast is not None:
+        return fast[0], _canon_links(fast[1], base_url)
     p = _CombinedExtractor()
     p.feed(html)
     p.close()
@@ -364,6 +486,9 @@ def extract_links(html: bytes | str | None, base_url: str | None) -> list[str] |
         return None
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", "replace")
+    fast = _fast_scan(html)
+    if fast is not None:
+        return _canon_links(fast[1], base_url)
     p = _LinkExtractor()
     p.feed(html)
     p.close()
