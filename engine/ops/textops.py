@@ -840,3 +840,194 @@ def dedup_incremental(spark, sf):
         F.min("doc_id").alias("keep_doc_id"),
         F.count("*").alias("n_batch_dups"),
     ).select("keep_doc_id", "n_batch_dups")
+
+
+# --------------------------------------------- corpus shaping (round 3)
+
+_DOMAIN_CAP = 10
+
+_DOMAIN_CAP_SQL = (
+    "SELECT doc_id, source FROM (SELECT doc_id, source, row_number() OVER "
+    "(PARTITION BY source ORDER BY sha256(text), doc_id) AS rn FROM documents) "
+    f"WHERE rn <= {_DOMAIN_CAP}"
+)
+
+
+@op("domain_cap_sample", _DOMAIN_CAP_SQL, "K")
+def domain_cap_sample(spark, sf):
+    """Per-domain document cap: keep at most K docs per source/domain —
+    the standard web-corpus balancing step (one hot domain must not be
+    10% of the training set).  Survivor choice is a deterministic
+    CONTENT-keyed total order (sha256(text), doc_id tiebreak), never
+    rand()/limit: the kept set is a pure function of the corpus, stable
+    under re-partitioning, re-runs, and cluster resizes.  Scale shape:
+    one hash shuffle on source; Spark 4's WindowGroupLimit pushes the
+    rank<=K cut to a partial pass BEFORE the exchange, so a 10^8-doc hot
+    domain ships only K rows per map task, not its whole spill
+    (plan-asserted in tests/test_plans.py)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(F.sha2("text", 256), "doc_id")
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _DOMAIN_CAP)
+        .select("doc_id", "source")
+    )
+
+
+# Gopher/C4-inspired quality gate, integerized so no float crosses the
+# oracle boundary: word count bounds, mean word length band (chars DIV
+# words in [3,10]), longest-word cap, and an English stopword floor that
+# only binds when lang='en' (the C4 rule is language-specific).
+_C4_SQL = (
+    "SELECT doc_id, n_words, mwl_cp, max_wlen, n_stop, CAST("
+    "n_words BETWEEN 20 AND 100000 AND mwl_cp BETWEEN 300 AND 1000 "
+    "AND max_wlen <= 30 AND (lang <> 'en' OR n_stop * 100 >= n_words) "
+    "AS INT) AS keep FROM (SELECT doc_id, lang, "
+    "len(regexp_split_to_array(trim(text), '\\s+')) AS n_words, "
+    "(length(replace(text, ' ', '')) * 100) // "
+    "len(regexp_split_to_array(trim(text), '\\s+')) AS mwl_cp, "
+    "list_max(list_transform(regexp_split_to_array(trim(text), '\\s+'), "
+    "w -> length(w))) AS max_wlen, "
+    + _marker_count_sql(LANG_MARKERS["en"])
+    + " AS n_stop FROM documents)"
+)
+
+
+@op("c4_quality_filter", _C4_SQL, "K")
+def c4_quality_filter(spark, sf):
+    """Composite C4/Gopher-style quality gate (Raffel et al. 2020 §2.2,
+    Rae et al. 2021 A1.1, re-derived for DataFrames): word-count bounds,
+    mean-word-length band, longest-word cap, per-language stopword floor
+    — the keep/drop columns a 100-TB pipeline computes ONCE and filters
+    on everywhere.  All thresholds integerized (centi-chars via DIV) so
+    Spark and the oracle compare exact integers, and the whole gate is
+    builtins-only: one map-side pass in whole-stage codegen, no shuffle,
+    no Python."""
+    docs = load_table(spark, sf, "documents")
+    toks = _toks()
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_words"),
+        F.expr(
+            "(length(replace(text, ' ', '')) * 100) DIV "
+            r"size(split(trim(text), '\\s+'))"
+        ).alias("mwl_cp"),
+        F.array_max(F.transform(toks, F.length)).alias("max_wlen"),
+        _marker_count_spark(LANG_MARKERS["en"]).alias("n_stop"),
+    )
+    keep = (
+        F.col("n_words").between(20, 100000)
+        & F.col("mwl_cp").between(300, 1000)
+        & (F.col("max_wlen") <= 30)
+        & ((F.col("lang") != "en") | (F.col("n_stop") * 100 >= F.col("n_words")))
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        "mwl_cp",
+        "max_wlen",
+        "n_stop",
+        keep.cast("int").alias("keep"),
+    )
+
+
+# Token-aligned exact-substring containment (Lee et al. 2022 "Deduplicating
+# Training Data Makes Language Models Better" §4.1, re-derived for
+# DataFrames: suffix arrays don't distribute, token-shingle candidate
+# generation does).  A doc is contained iff its full token sequence occurs
+# inside another doc's (longer one wins; equal texts keep the min doc_id).
+_CONTAIN_K = 5
+
+_CONTAIN_SQL = (
+    "WITH d AS (SELECT doc_id, array_to_string(regexp_split_to_array("
+    "trim(text), '\\s+'), ' ') AS nt FROM documents) "
+    "SELECT a.doc_id, count(DISTINCT b.doc_id) AS n_containers, "
+    "min(b.doc_id) AS min_container FROM d a JOIN d b ON "
+    "a.doc_id <> b.doc_id AND position(' ' || a.nt || ' ' IN "
+    "' ' || b.nt || ' ') > 0 AND (length(b.nt) > length(a.nt) OR "
+    "(b.nt = a.nt AND b.doc_id < a.doc_id)) GROUP BY a.doc_id"
+)
+
+
+@op("exact_substring_contain", _CONTAIN_SQL, "K")
+def exact_substring_contain(spark, sf):
+    """Containment dedup: flag docs whose token stream appears verbatim
+    inside another doc (quote farms, boilerplate wrappers, partial
+    mirrors — exact dedup misses them, near-dup sketches under-weight
+    them).  Scale shape: each doc probes ONE key (its first K-gram — a
+    contained doc's first K tokens are necessarily a token-aligned
+    K-gram of its container), containers explode to n-K+1 keys; the
+    equi-join on K-gram replaces the quadratic all-pairs scan, pairs are
+    verified JVM-side (instr on space-normalized text), and the gram
+    stream is the same O(total tokens) cost class as
+    contamination_ngrams.  Hot boilerplate K-grams fan out candidate
+    pairs — AQE skew-join splits those buckets on a cluster.  Docs with
+    fewer than K tokens (pre-filtered garbage at web scale) fall back to
+    a broadcast verify pass, engaged only if any exist (one tiny
+    loop-control count, same class as crawl.py's partition-count
+    probe)."""
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.array_join(_toks(), " ").alias("nt"),
+        _toks().alias("w"),
+    )
+    n = F.size("w")
+    probes = docs.select(
+        "doc_id",
+        "nt",
+        F.when(
+            n >= _CONTAIN_K,
+            F.concat_ws(" ", F.slice("w", 1, _CONTAIN_K)),
+        ).alias("g"),
+    )
+    grams = docs.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("nt").alias("b_nt"),
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(w) >= {_CONTAIN_K} THEN "
+                f"array_distinct(transform(sequence(0, size(w) - {_CONTAIN_K}), "
+                f"i -> concat_ws(' ', slice(w, i + 1, {_CONTAIN_K})))) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    long_probes = probes.filter(F.col("g").isNotNull())
+    cand = long_probes.join(grams, "g").filter(F.col("doc_id") != F.col("b_id"))
+    short_probes = probes.filter(F.col("g").isNull()).select("doc_id", "nt")
+    if short_probes.limit(1).count() > 0:
+        # rare-short fallback: broadcast the (tiny) short-doc set against
+        # the corpus — correctness for the <K-token tail without putting
+        # a nested-loop join in the common plan
+        shorts = docs.select(
+            F.col("doc_id").alias("b_id"), F.col("nt").alias("b_nt")
+        ).join(
+            F.broadcast(short_probes),
+            F.col("doc_id") != F.col("b_id"),
+            "inner",
+        )
+        cand = cand.select("doc_id", "nt", "b_id", "b_nt").unionByName(
+            shorts.select("doc_id", "nt", "b_id", "b_nt")
+        )
+    else:
+        cand = cand.select("doc_id", "nt", "b_id", "b_nt")
+    verified = cand.filter(
+        (
+            F.instr(
+                F.concat(F.lit(" "), F.col("b_nt"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("nt"), F.lit(" ")),
+            )
+            > 0
+        )
+        & (
+            (F.length("b_nt") > F.length("nt"))
+            | ((F.col("b_nt") == F.col("nt")) & (F.col("b_id") < F.col("doc_id")))
+        )
+    )
+    return verified.groupBy("doc_id").agg(
+        F.countDistinct("b_id").alias("n_containers"),
+        F.min("b_id").alias("min_container"),
+    )

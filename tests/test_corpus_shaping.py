@@ -1,0 +1,151 @@
+"""Round-3 corpus-shaping ops (engine/ops/textops.py: domain_cap_sample,
+c4_quality_filter, exact_substring_contain) verified against in-process
+brute force over sf0.001, plus plan-shape pins and an adversarial
+short-doc corpus that drives exact_substring_contain's broadcast
+fallback path (untaken on driver data — every sf doc has ≥10 tokens).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from engine.ops import REGISTRY, _load_all
+
+    _load_all()
+    return REGISTRY
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from engine.io import load_table
+
+    return [
+        (r["doc_id"], r["text"], r["lang"], r["source"])
+        for r in load_table(spark, SF, "documents")
+        .select("doc_id", "text", "lang", "source")
+        .collect()
+    ]
+
+
+def test_domain_cap_sample_matches_brute_force(spark, registry, docs):
+    got = {
+        (r["doc_id"], r["source"])
+        for r in registry["domain_cap_sample"].fn(spark, SF).collect()
+    }
+    by_source: dict[str, list[tuple[str, int]]] = {}
+    for doc_id, text, _lang, source in docs:
+        key = hashlib.sha256((text or "").encode()).hexdigest()
+        by_source.setdefault(source, []).append((key, doc_id))
+    want = set()
+    for source, rows in by_source.items():
+        for _key, doc_id in sorted(rows)[:10]:
+            want.add((doc_id, source))
+    assert got == want
+    # the cap actually binds somewhere (otherwise the test proves nothing)
+    assert any(len(rows) > 10 for rows in by_source.values())
+
+
+def test_domain_cap_sample_uses_window_group_limit(spark, registry):
+    plan = registry["domain_cap_sample"].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def _c4_brute(doc_id, text, lang):
+    toks = re.split(r"\s+", (text or "").strip())
+    n_words = len(toks)
+    n_nospace = len((text or "").replace(" ", ""))
+    mwl_cp = (n_nospace * 100) // n_words
+    max_wlen = max(len(t) for t in toks)
+    from engine.textanalysis import LANG_MARKERS
+
+    n_stop = sum(1 for t in toks if t in LANG_MARKERS["en"])
+    keep = int(
+        20 <= n_words <= 100000
+        and 300 <= mwl_cp <= 1000
+        and max_wlen <= 30
+        and (lang != "en" or n_stop * 100 >= n_words)
+    )
+    return (doc_id, n_words, mwl_cp, max_wlen, n_stop, keep)
+
+
+def test_c4_quality_filter_matches_brute_force(spark, registry, docs):
+    got = {
+        tuple(r)
+        for r in registry["c4_quality_filter"].fn(spark, SF).collect()
+    }
+    want = {_c4_brute(d, t, lang) for d, t, lang, _s in docs}
+    assert got == want
+    keeps = {k for *_x, k in got}
+    assert keeps == {0, 1}, "gate must both keep and drop on this corpus"
+
+
+def test_c4_quality_filter_is_shuffle_free_jvm_only(spark, registry):
+    plan = registry["c4_quality_filter"].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def _contain_brute(rows):
+    norm = {
+        d: " ".join(re.split(r"\s+", (t or "").strip())) for d, t in rows
+    }
+    out = {}
+    for a, na in norm.items():
+        containers = [
+            b
+            for b, nb in norm.items()
+            if b != a
+            and f" {na} " in f" {nb} "
+            and (len(nb) > len(na) or (nb == na and b < a))
+        ]
+        if containers:
+            out[a] = (len(containers), min(containers))
+    return out
+
+
+def test_exact_substring_contain_matches_brute_force(spark, registry, docs):
+    got = {
+        r["doc_id"]: (r["n_containers"], r["min_container"])
+        for r in registry["exact_substring_contain"].fn(spark, SF).collect()
+    }
+    want = _contain_brute([(d, t) for d, t, _l, _s in rows] if (rows := docs) else [])
+    assert got == want
+    assert want, "corpus must contain at least one contained doc"
+
+
+def test_exact_substring_contain_no_nested_loop_on_driver_data(spark, registry):
+    plan = registry["exact_substring_contain"].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_substring_contain_short_doc_fallback(spark, registry, tmp_path):
+    # corpus with <K-token docs: 'a b' is contained in 'a b c' and in the
+    # long doc; 'q' is nowhere; equal short texts tie-break by doc_id
+    rows = [
+        (0, "a b", "en", "s0"),
+        (1, "a b c", "en", "s0"),
+        (2, "x " * 3 + "a b c d e f g h", "en", "s1"),
+        (3, "q", "en", "s1"),
+        (4, "a b", "en", "s2"),
+    ]
+    df = spark.createDataFrame(
+        [(d, t.strip(), lang, s, len(t)) for d, t, lang, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_containers"], r["min_container"])
+        for r in registry["exact_substring_contain"].fn(spark, str(tmp_path)).collect()
+    }
+    want = _contain_brute([(d, t.strip()) for d, t, _l, _s in rows])
+    assert got == want
+    assert 0 in want and 4 in want and 3 not in want
