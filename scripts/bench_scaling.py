@@ -1077,10 +1077,11 @@ def _write_md(rep: dict, path: str) -> None:
     import glob as _glob
 
     named = [
-        ("s1 headline", "scaling.json"),
+        ("headline (current)", "scaling.json"),
         ("s2", "scaling_s2.json"),
         ("s3", "scaling_s3.json"),
         ("s4", "scaling_s4.json"),
+        ("r2 headline (pre-fast-extractor)", "scaling_r2_headline.json"),
     ]
     for fp in sorted(
         _glob.glob(os.path.join(bench_dir, "scaling_4to16_r*.json"))
