@@ -925,27 +925,49 @@ def _write_md(rep: dict, path: str) -> None:
             f"| local[{c}] | {lv['fetched_total']:,} | "
             f"{lv['round_sec_total']} | {t} | {pc} |"
         )
-    m_path = os.path.join(os.path.dirname(path), "m_crawl.json")
-    m = None
-    if os.path.exists(m_path):
-        with open(m_path) as fh:
-            m = json.load(fh)
+    def _m_samples(prefix: str) -> list[dict]:
+        # every fresh-JVM sample of the M bench, current-round suffixes
+        # a/b/c… (plain "<prefix>.json" is sample a); r{N}-suffixed files
+        # are prior-round history and stay out of the current median
+        import glob as _g
+
+        out = []
+        for fp in sorted(
+            _g.glob(os.path.join(os.path.dirname(path), f"{prefix}*.json"))
+        ):
+            base = os.path.basename(fp)[len(prefix) : -len(".json")]
+            if base in ("", "_b", "_c", "_d", "_e"):
+                with open(fp) as fh:
+                    out.append(json.load(fh))
+        return sorted(out, key=lambda d: d["value"])
+
+    m_all = _m_samples("m_crawl") and [
+        d for d in _m_samples("m_crawl") if d["seen_filter"] == "exact"
+    ]
+    mb_all = _m_samples("m_crawl_bloom")
+    m = m_all[len(m_all) // 2] if m_all else None
+    mb = mb_all[len(mb_all) // 2] if mb_all else None
+    if m is not None:
         mc, ml = m["corpus"], m["level"]
+        spread = f"{m_all[0]['value']}-{m_all[-1]['value']}" if len(m_all) > 1 else ""
         lines += [
             f"| local[{m['cpus']}] (M corpus, {mc['n_pages']:,} urls, "
             f"budget {m['budget_per_host']}) | {ml['fetched_total']:,} | "
-            f"{ml['round_sec_total']} | {m['value']} | {m['per_core']} |",
+            f"{ml['round_sec_total']} | {m['value']}"
+            + (f" (median of {len(m_all)}, spread {spread})" if spread else "")
+            + f" | {m['per_core']} |",
         ]
-    mb_path = os.path.join(os.path.dirname(path), "m_crawl_bloom.json")
-    mb = None
-    if m is not None and os.path.exists(mb_path):
-        with open(mb_path) as fh:
-            mb = json.load(fh)
+    if m is not None and mb is not None:
         mbl = mb["level"]
+        spread = (
+            f"{mb_all[0]['value']}-{mb_all[-1]['value']}" if len(mb_all) > 1 else ""
+        )
         lines += [
             f"| local[{mb['cpus']}] (M corpus, BLOOM seen-filter) | "
             f"{mbl['fetched_total']:,} | {mbl['round_sec_total']} | "
-            f"{mb['value']} | {mb['per_core']} |",
+            f"{mb['value']}"
+            + (f" (median of {len(mb_all)}, spread {spread})" if spread else "")
+            + f" | {mb['per_core']} |",
         ]
     if m is not None:
         lines += [
@@ -973,13 +995,18 @@ def _write_md(rep: dict, path: str) -> None:
             "residue.  Fetched-url counts are "
             + ("IDENTICAL" if same_fetch else "**DIFFERENT — BUG**")
             + " across modes (bloom filters",
-            "prune, never decide).  Measured bloom/exact throughput ratio:"
-            f" **{round(mb['value'] / m['value'], 3)}** (warm-vs-warm:",
-            "the FIRST exact run after corpus generation measured 2,611",
-            "urls/s against bloom's 4,539 — a 1.74x artifact of cold page",
-            "cache on the 1M-page parquet, retained as",
-            "`m_crawl_exact_cold.json`; the headline exact row is the",
-            "warm re-run, same fetched counts).",
+            "prune, never decide).  Median bloom/exact throughput ratio:"
+            f" **{round(mb['value'] / m['value'], 3)}**.",
+            "Sample caveats: M runs are 16-thread and NOT interleaved, so",
+            "per-sample swing is large (the spreads above; identical",
+            "deterministic work has measured 2-3x different CPU-seconds",
+            "under co-tenant load — e.g. m_crawl_bloom.json's round 2:",
+            "572 vs 120 core-sec for the same round in sample c).  The",
+            "quiet-host adjacent pair (samples c, run back-to-back) prices",
+            "the probe's intrinsic overhead at ~7% (4,906 vs 5,301 urls/s,",
+            "near-identical CPU splits).  A 1.74x cold-page-cache artifact",
+            "on the first-ever exact run is retained as",
+            "`m_crawl_exact_cold.json`; r2-era samples as `*_r2.json`.",
             "At this M scale both sides of the anti-join fit in memory, so",
             "the local ratio mostly prices the probe's own overhead; the",
             "structure's payoff is the 10^10 design point where the exact",
