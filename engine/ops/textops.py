@@ -1031,3 +1031,131 @@ def exact_substring_contain(spark, sf):
         F.countDistinct("b_id").alias("n_containers"),
         F.min("b_id").alias("min_container"),
     )
+
+
+# C4-style duplicated-span removal (Raffel et al. 2020 §2.2 "we discarded
+# all but one of any three-sentence span occurring more than once"),
+# re-derived for a corpus with no sentence boundaries: the span unit is a
+# fixed non-overlapping 10-token chunk (deterministic chunking = the only
+# sentence-splitter both engines can agree on symbol-for-symbol).  The
+# canonical survivor of a duplicated chunk is its first corpus-wide
+# occurrence under the (doc_id, chunk_idx) total order — a pure function
+# of the corpus, stable under re-partitioning.
+_SPAN_W = 10
+
+_SPAN_SQL = (
+    "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') "
+    "AS w FROM documents), "
+    f"n AS (SELECT doc_id, w, CAST(ceil(len(w) / {_SPAN_W}.0) AS BIGINT) "
+    "AS nc FROM t), "
+    "c0 AS (SELECT doc_id, w, unnest(range(nc)) AS ci FROM n), "
+    f"c AS (SELECT doc_id, ci, array_to_string(w[ci*{_SPAN_W}+1 : "
+    f"ci*{_SPAN_W}+{_SPAN_W}], ' ') AS chunk FROM c0), "
+    "r AS (SELECT doc_id, ci, chunk, row_number() OVER (PARTITION BY chunk "
+    "ORDER BY doc_id, ci) AS rn FROM c) "
+    "SELECT doc_id, "
+    "coalesce(string_agg(chunk, ' ' ORDER BY ci) FILTER (WHERE rn = 1), '') "
+    "AS kept_text, "
+    "CAST(coalesce(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) "
+    "AS n_dropped FROM r GROUP BY doc_id"
+)
+
+
+@op("span_dedup", _SPAN_SQL, "K")
+def span_dedup(spark, sf):
+    """Corpus-level duplicated-span removal: every 10-token chunk keeps
+    exactly its first corpus-wide occurrence; later occurrences are cut
+    out of their documents and the survivors re-assembled in order —
+    the C4 line/span-dedup step that exact and near-dup doc dedup both
+    miss (partial mirrors, quote farms, syndicated fragments).
+
+    Scale shape: one explode to the chunk stream (O(total tokens / W),
+    strictly smaller than the token stream the tfidf/repetition ops
+    already explode), ONE hash shuffle on chunk text for the
+    first-occurrence window, then one groupBy(doc_id) to re-assemble.
+    Re-assembly is collect_list bounded by per-doc chunk count (docs are
+    KB-sized by pipeline invariant), sorted by chunk index inside the
+    row — no cross-row ordering dependency, so the result is identical
+    at any parallelism.  Hot chunks (viral boilerplate) skew the window
+    partition — AQE skew handling splits them on a cluster, and the
+    window itself is a streaming rank, not a buffer."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", _toks().alias("w")
+    )
+    chunks = F.expr(
+        f"transform(sequence(0, CAST((size(w) + {_SPAN_W - 1}) DIV "
+        f"{_SPAN_W} AS INT) - 1), "
+        f"i -> struct(CAST(i AS BIGINT) AS ci, "
+        f"concat_ws(' ', slice(w, i * {_SPAN_W} + 1, {_SPAN_W})) AS chunk))"
+    )
+    ex = docs.select(
+        "doc_id", F.explode(chunks).alias("c")
+    ).select("doc_id", F.col("c.ci").alias("ci"), F.col("c.chunk").alias("chunk"))
+    w_first = Window.partitionBy("chunk").orderBy("doc_id", "ci")
+    r = ex.withColumn("rn", F.row_number().over(w_first))
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(F.col("rn") == 1, F.struct("ci", "chunk"))
+        )
+    )
+    return r.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(kept, lambda s: s["chunk"]), " "
+        ).alias("kept_text"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("n_dropped"),
+    )
+
+
+# CCNet-inspired corpus-fit scoring (Wenzek et al. 2020 use a KenLM
+# perplexity; with no LM in the container the public-knowledge analog is
+# the corpus's own unigram model) — integer-only so no float crosses the
+# oracle boundary: each token scores its corpus frequency in ppm
+# (cnt * 10^6 DIV total), a doc scores the integer mean over its tokens.
+# Low mean-ppm = rare-token-heavy (garbled/OCR junk); high = natural text.
+_UNIGRAM_SQL = (
+    "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), "
+    "'\\s+')) AS term FROM documents), "
+    "tf AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok "
+    "GROUP BY term), "
+    "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM tf) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+    "CAST(sum((cnt * 1000000) // n) // count(*) AS BIGINT) AS mean_tf_ppm "
+    "FROM tok JOIN tf USING (term) CROSS JOIN tot GROUP BY doc_id"
+)
+
+
+@op("unigram_freq_score", _UNIGRAM_SQL, "K")
+def unigram_freq_score(spark, sf):
+    """Corpus-frequency quality signal: per-doc integer mean of its
+    tokens' corpus frequency (ppm) under the corpus's own unigram model
+    — the in-container analog of CCNet's LM-perplexity bucketing, used
+    the same way (threshold or ntile the score to route docs to
+    keep/review/drop).
+
+    Scale shape: the token stream is exploded ONCE and immediately
+    collapsed by a map-side-combined groupBy(term) into the vocab-sized
+    frequency table; the corpus total arrives as a broadcast 1-row
+    scalar (no driver collect, same idiom as tfidf/link_rank); scoring
+    re-joins tokens to the frequency table on term — a shuffle hash
+    join whose build side is the vocabulary, not the corpus — then one
+    groupBy(doc_id).  All arithmetic is integer DIV, so Spark and the
+    oracle agree exactly at any scale."""
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(_toks()).alias("term")
+    )
+    tf = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    tot = F.broadcast(tf.agg(F.sum("cnt").alias("n")))
+    return (
+        tok.join(tf, "term")
+        .crossJoin(tot)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.expr(
+                "CAST(sum((cnt * 1000000) DIV n) DIV count(*) AS BIGINT)"
+            ).alias("mean_tf_ppm"),
+        )
+    )

@@ -127,6 +127,74 @@ def test_exact_substring_contain_no_nested_loop_on_driver_data(spark, registry):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def _span_brute(rows, w=10):
+    seen = set()
+    out = {}
+    for doc_id, text in sorted(rows):
+        toks = re.split(r"\s+", (text or "").strip())
+        kept, dropped = [], 0
+        for i in range(0, (len(toks) + w - 1) // w):
+            chunk = " ".join(toks[i * w : i * w + w])
+            if chunk in seen:
+                dropped += 1
+            else:
+                seen.add(chunk)
+                kept.append(chunk)
+        out[doc_id] = (" ".join(kept), dropped)
+    return out
+
+
+def test_span_dedup_matches_brute_force(spark, registry, docs):
+    got = {
+        r["doc_id"]: (r["kept_text"], r["n_dropped"])
+        for r in registry["span_dedup"].fn(spark, SF).collect()
+    }
+    want = _span_brute([(d, t) for d, t, _l, _s in docs])
+    assert got == want
+    # the dedup actually binds (duplicate docs exist in every sf corpus)
+    assert any(n for _t, n in want.values())
+
+
+def test_span_dedup_stays_jvm_side(spark, registry):
+    plan = registry["span_dedup"].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def _unigram_brute(rows):
+    import collections
+
+    cnt = collections.Counter()
+    for _d, text in rows:
+        cnt.update(re.split(r"\s+", (text or "").strip()))
+    total = sum(cnt.values())
+    out = {}
+    for doc_id, text in rows:
+        toks = re.split(r"\s+", (text or "").strip())
+        s = sum((cnt[t] * 1_000_000) // total for t in toks)
+        out[doc_id] = (len(toks), s // len(toks))
+    return out
+
+
+def test_unigram_freq_score_matches_brute_force(spark, registry, docs):
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["mean_tf_ppm"])
+        for r in registry["unigram_freq_score"].fn(spark, SF).collect()
+    }
+    want = _unigram_brute([(d, t) for d, t, _l, _s in docs])
+    assert got == want
+    # scores carry signal: not all docs share one value, all within bounds
+    scores = {v for _n, v in want.values()}
+    assert len(scores) > 1
+    assert all(0 <= v <= 1_000_000 for v in scores)
+
+
+def test_unigram_freq_score_stays_jvm_side(spark, registry):
+    plan = registry["unigram_freq_score"].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
 def test_exact_substring_contain_short_doc_fallback(spark, registry, tmp_path):
     # corpus with <K-token docs: 'a b' is contained in 'a b c' and in the
     # long doc; 'q' is nowhere; equal short texts tie-break by doc_id
