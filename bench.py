@@ -74,6 +74,11 @@ HEADLINE = [
     "tfidf_top_terms",      # explode → one-shuffle vocab agg → window top-k
     "contamination_ngrams",  # broadcast-pruned n-gram probe scan
     "dedup_incremental",    # O(batch) anti-join vs history + batch dedup
+    "domain_cap_sample",    # WindowGroupLimit-pushed per-domain cap
+    "c4_quality_filter",    # builtins-only quality gate, zero shuffle
+    "exact_substring_contain",  # K-gram containment probe join
+    "span_dedup",           # chunk-stream window dedup + re-assembly
+    "unigram_freq_score",   # vocab agg + token⋈vocab scoring join
 ]
 
 
