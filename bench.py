@@ -79,6 +79,8 @@ HEADLINE = [
     "exact_substring_contain",  # K-gram containment probe join
     "span_dedup",           # chunk-stream window dedup + re-assembly
     "unigram_freq_score",   # vocab agg + token⋈vocab scoring join
+    "host_quality_rollup",  # key-dup marking join + source rollup
+    "token_shard_plan",     # distributed two-level prefix sum
 ]
 
 

@@ -72,6 +72,15 @@ _FRONT = (
     "extract_links",
     "bloom_prune",
     "cuckoo_shard_update",
+    # -- brand-new round-3 ops (corpus shaping / export planning) — no
+    #    driver row of any kind exists yet
+    "domain_cap_sample",
+    "c4_quality_filter",
+    "exact_substring_contain",
+    "span_dedup",
+    "unigram_freq_score",
+    "host_quality_rollup",
+    "token_shard_plan",
     # -- never driver-recorded, oracled (hash check is the prize)
     "except_selected",
     "intersect_invariant",

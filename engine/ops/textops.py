@@ -1159,3 +1159,139 @@ def unigram_freq_score(spark, sf):
             ).alias("mean_tf_ppm"),
         )
     )
+
+
+# Source/host-level corpus filtering (RefinedWeb, Penedo et al. 2023 §3.1
+# keep URL/host-level blocklists and stats ahead of doc-level filters;
+# FineWeb applies the same idea as whole-domain drops): a domain whose
+# pages are mostly duplicated or degenerate content is cheaper to drop
+# wholesale than to score doc-by-doc downstream.  Verdict thresholds are
+# integer-only (percent compares as cross-multiplications) so no float
+# crosses the oracle boundary.
+_HOST_ROLLUP_SQL = (
+    "WITH d AS (SELECT doc_id, source, sha256(text) AS k, "
+    "len(regexp_split_to_array(trim(text), '\\s+')) AS n_words "
+    "FROM documents), "
+    "c AS (SELECT k, count(*) AS kc FROM d GROUP BY k) "
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(CASE WHEN kc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs, "
+    "CAST(sum(n_words) // count(*) AS BIGINT) AS mean_words, "
+    "CAST(sum(CASE WHEN kc > 1 THEN 1 ELSE 0 END) * 2 < count(*) "
+    "AND sum(n_words) // count(*) >= 10 AS INT) AS keep "
+    "FROM d JOIN c USING (k) GROUP BY source"
+)
+
+
+@op("host_quality_rollup", _HOST_ROLLUP_SQL, "K")
+def host_quality_rollup(spark, sf):
+    """Host/source-level keep verdict: roll per-doc signals (duplicated
+    content share, mean length) up to the source and drop whole domains
+    that are majority-duplicate or degenerate — the cheapest filter in a
+    web pipeline because it prunes BEFORE any per-doc scoring runs.
+
+    Scale shape: one map pass derives (content key, word count); the
+    corpus-wide duplicate marking is a groupBy on the content key whose
+    output is the distinct-key table, re-joined to docs as the BUILD
+    side of a shuffle hash join; then ONE groupBy(source).  The verdict
+    is integer cross-multiplication (dup_docs*2 < n_docs), so Spark and
+    DuckDB agree exactly.  Skewed sources (one domain = 10% of the
+    corpus) only widen the final map-side-combined agg — AQE handles
+    the join side."""
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.sha2("text", 256).alias("k"),
+        F.size(_toks()).alias("n_words"),
+    )
+    kc = docs.groupBy("k").agg(F.count("*").alias("kc"))
+    return (
+        docs.join(kc, "k")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("kc") > 1).cast("long")).alias("dup_docs"),
+            F.expr("CAST(sum(n_words) DIV count(*) AS BIGINT)").alias(
+                "mean_words"
+            ),
+            F.expr(
+                "CAST(sum(CAST(kc > 1 AS LONG)) * 2 < count(*) "
+                "AND sum(n_words) DIV count(*) >= 10 AS INT)"
+            ).alias("keep"),
+        )
+    )
+
+
+# Token-budgeted export-shard planning: training-data exports write
+# fixed-token-budget shards in a deterministic corpus order (doc_id), so
+# shard assignment is floor(prefix_tokens_before_doc / BUDGET).  A naive
+# Spark window over ORDER BY doc_id funnels the whole corpus through ONE
+# partition — the textbook global-prefix-sum trap — so this op uses the
+# two-level scan instead: per-block sums, a block-level running offset
+# over the tiny block table, then a within-block window.  Same result,
+# no single-partition stage over the corpus.
+_SHARD_BUDGET = 4_096
+_SHARD_BLOCK = 256  # docs per prefix-sum block (10^4-10^6 on a cluster)
+
+_SHARD_SQL = (
+    "WITH t AS (SELECT doc_id, len(regexp_split_to_array(trim(text), "
+    "'\\s+')) AS n_tokens FROM documents) "
+    "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+    "CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN "
+    f"UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {_SHARD_BUDGET} "
+    "AS BIGINT) AS shard FROM t"
+)
+
+
+@op("token_shard_plan", _SHARD_SQL, "K")
+def token_shard_plan(spark, sf):
+    """Deterministic token-budget shard assignment for corpus export:
+    doc → shard = floor(tokens-before-doc / budget) under the doc_id
+    total order, so every export shard holds ~budget tokens and the
+    layout is a pure function of the corpus (re-runs, resumes, and
+    different cluster sizes produce byte-identical shard manifests).
+
+    Scale shape — distributed prefix sum, NOT a global-order window:
+    (1) per-doc token counts map-side; (2) per-block sums via ONE
+    groupBy(doc_id DIV B); (3) the block-level running offset is a
+    window over the BLOCK table only (corpus/B rows — a few thousand at
+    10^10 docs — explicitly bounded, and broadcast back); (4) the
+    within-block running sum windows over partitionBy(block), which
+    hash-distributes.  No stage ever sees the corpus in one partition;
+    the oracle's single ORDER BY window is the semantic spec only."""
+    from pyspark.sql import Window
+
+    toks = load_table(spark, sf, "documents").select(
+        "doc_id", F.size(_toks()).cast("long").alias("n_tokens")
+    )
+    blocked = toks.withColumn(
+        "blk", F.expr(f"doc_id DIV {_SHARD_BLOCK}")
+    )
+    blk_sum = blocked.groupBy("blk").agg(
+        F.sum("n_tokens").alias("blk_tokens")
+    )
+    # block table is corpus/B rows: the only ordered window runs here
+    w_blk = Window.orderBy("blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    blk_off = blk_sum.select(
+        "blk", F.coalesce(F.sum("blk_tokens").over(w_blk), F.lit(0)).alias("off")
+    )
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        blocked.join(F.broadcast(blk_off), "blk")
+        .withColumn(
+            "prefix",
+            F.col("off") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"CAST(prefix DIV {_SHARD_BUDGET} AS BIGINT)").alias(
+                "shard"
+            ),
+        )
+    )

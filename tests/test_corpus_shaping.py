@@ -217,3 +217,122 @@ def test_exact_substring_contain_short_doc_fallback(spark, registry, tmp_path):
     want = _contain_brute([(d, t.strip()) for d, t, _l, _s in rows])
     assert got == want
     assert 0 in want and 4 in want and 3 not in want
+
+
+def _host_rollup_brute(rows):
+    import collections
+
+    kc = collections.Counter(
+        hashlib.sha256((t or "").encode()).hexdigest() for _d, t, _s in rows
+    )
+    per = collections.defaultdict(list)
+    for _d, text, source in rows:
+        k = hashlib.sha256((text or "").encode()).hexdigest()
+        n_words = len(re.split(r"\s+", (text or "").strip()))
+        per[source].append((kc[k] > 1, n_words))
+    out = {}
+    for source, sig in per.items():
+        n = len(sig)
+        dups = sum(1 for d, _w in sig if d)
+        mw = sum(w for _d, w in sig) // n
+        out[source] = (n, dups, mw, int(dups * 2 < n and mw >= 10))
+    return out
+
+
+def test_host_quality_rollup_matches_brute_force(spark, registry, docs):
+    got = {
+        r["source"]: (r["n_docs"], r["dup_docs"], r["mean_words"], r["keep"])
+        for r in registry["host_quality_rollup"].fn(spark, SF).collect()
+    }
+    want = _host_rollup_brute([(d, t, s) for d, t, _l, s in docs])
+    assert got == want
+
+
+def test_host_quality_rollup_verdict_branches(spark, registry, tmp_path):
+    # synthetic corpus where both drop reasons bind: s0 is majority-
+    # duplicate (3 of 4 docs share one text), s1 is degenerate-short,
+    # s2 is clean; cross-source duplicates count against BOTH sources
+    long = "w " * 19 + "w"
+    rows = [
+        (0, long, "s0"),
+        (1, long, "s0"),
+        (2, long, "s0"),
+        (3, "unique text here with plenty of words to stay wordy", "s0"),
+        (4, "tiny", "s1"),
+        (5, "also tiny", "s1"),
+        (6, "a perfectly ordinary document with more than ten words in it", "s2"),
+        (7, long, "s2"),
+        (8, "another clean and sufficiently long document keeps this source alive today", "s2"),
+    ]
+    df = spark.createDataFrame(
+        [(d, t, "en", s, len(t)) for d, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["source"]: (r["n_docs"], r["dup_docs"], r["mean_words"], r["keep"])
+        for r in registry["host_quality_rollup"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == _host_rollup_brute([(d, t, s) for d, t, s in rows])
+    assert got["s0"][3] == 0  # majority duplicate → drop
+    assert got["s1"][3] == 0  # degenerate length → drop
+    assert got["s2"][3] == 1  # one dup of 3 is not a majority → keep
+
+
+def test_host_quality_rollup_stays_jvm_side(spark, registry):
+    plan = registry["host_quality_rollup"].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def _shard_brute(rows, budget=4096):
+    out = {}
+    prefix = 0
+    for doc_id, text in sorted(rows):
+        n = len(re.split(r"\s+", (text or "").strip()))
+        out[doc_id] = (n, prefix // budget)
+        prefix += n
+    return out
+
+
+def test_token_shard_plan_matches_brute_force(spark, registry, docs):
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["shard"])
+        for r in registry["token_shard_plan"].fn(spark, SF).collect()
+    }
+    want = _shard_brute([(d, t) for d, t, _l, _s in docs])
+    assert got == want
+    # multiple shards exist and every shard except the last is "full
+    # enough" (a doc never splits, so shards overshoot by < one doc)
+    shards = sorted({s for _n, s in want.values()})
+    assert shards == list(range(len(shards))) and len(shards) > 1
+
+
+def test_token_shard_plan_identical_across_parallelism(spark, registry):
+    # the two-level prefix sum must be a pure function of the corpus:
+    # same result at any shuffle-partition count
+    df = registry["token_shard_plan"].fn(spark, SF)
+    base = sorted(map(tuple, df.collect()))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        again = sorted(
+            map(tuple, registry["token_shard_plan"].fn(spark, SF).collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == again
+
+
+def test_token_shard_plan_no_global_window_over_corpus(spark, registry):
+    # the only ORDER-BY-without-PARTITION-BY window may run over the
+    # block table (corpus/B rows), never the doc stream: assert the
+    # single-partition exchange feeds a plan whose row source is the
+    # block aggregate, by checking the full-corpus window is partitioned
+    plan = registry["token_shard_plan"].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    # every Window over doc-level columns must carry a partition spec
+    for m in _re.finditer(r"Window \[sum\(n_tokens#?\w*", plan):
+        seg = plan[m.start() : m.start() + 300]
+        assert "blk" in seg, seg
