@@ -16,7 +16,7 @@ Two parts, both timed end-to-end (plan build → materialization):
    ``engine.crawl.run_round`` for 3 rounds.
 
 The crawl phase is measured as the MEDIAN of ``$SPARK_GRAFT_CRAWL_SAMPLES``
-(default 3) runs, each in its own FRESH JVM subprocess (``--crawl-only``
+(default 5) runs, each in its own FRESH JVM subprocess (``--crawl-only``
 mode): single-shot crawl numbers on this co-tenanted host swing up to ±2×
 (BENCH/BASELINE.md documents 19.4–45.9 s for a byte-identical binary), so
 a headline artifact must carry median + spread or it is evidence of
@@ -273,7 +273,10 @@ def main() -> int:
     # suite the same 3 rounds swing 30-147 s from GC/ContextCleaner timing
     # in the long-lived heap), and a single fresh-JVM shot still swings
     # ±2× with host co-tenancy — median-of-K is the noise-proof headline.
-    k = int(os.environ.get("SPARK_GRAFT_CRAWL_SAMPLES", "3"))
+    # Default 5: a median-of-5 tolerates TWO co-tenant-noised samples where
+    # median-of-3 tolerates one — the observed spread on identical work is
+    # up to 4x (57.975 vs 241.884 s in one r3 run minutes apart).
+    k = int(os.environ.get("SPARK_GRAFT_CRAWL_SAMPLES", "5"))
     samples = _crawl_samples(k)
 
     spark = _make_spark()
