@@ -1114,6 +1114,11 @@ def span_dedup(spark, sf):
 # oracle boundary: each token scores its corpus frequency in ppm
 # (cnt * 10^6 DIV total), a doc scores the integer mean over its tokens.
 # Low mean-ppm = rare-token-heavy (garbled/OCR junk); high = natural text.
+# Shared constant interpolated into BOTH the oracle SQL and the Spark
+# expression (the _SPAN_W/_SHARD_BUDGET pattern, ADVICE r3) so a
+# one-sided edit cannot silently desync engine and oracle.
+_UNIGRAM_PPM = 1_000_000
+
 _UNIGRAM_SQL = (
     "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), "
     "'\\s+')) AS term FROM documents), "
@@ -1121,7 +1126,8 @@ _UNIGRAM_SQL = (
     "GROUP BY term), "
     "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM tf) "
     "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
-    "CAST(sum((cnt * 1000000) // n) // count(*) AS BIGINT) AS mean_tf_ppm "
+    f"CAST(sum((cnt * {_UNIGRAM_PPM}) // n) // count(*) AS BIGINT) "
+    "AS mean_tf_ppm "
     "FROM tok JOIN tf USING (term) CROSS JOIN tot GROUP BY doc_id"
 )
 
@@ -1155,7 +1161,8 @@ def unigram_freq_score(spark, sf):
         .agg(
             F.count("*").alias("n_tokens"),
             F.expr(
-                "CAST(sum((cnt * 1000000) DIV n) DIV count(*) AS BIGINT)"
+                f"CAST(sum((cnt * {_UNIGRAM_PPM}) DIV n) DIV count(*) "
+                "AS BIGINT)"
             ).alias("mean_tf_ppm"),
         )
     )
@@ -1167,7 +1174,12 @@ def unigram_freq_score(spark, sf):
 # pages are mostly duplicated or degenerate content is cheaper to drop
 # wholesale than to score doc-by-doc downstream.  Verdict thresholds are
 # integer-only (percent compares as cross-multiplications) so no float
-# crosses the oracle boundary.
+# crosses the oracle boundary; both are shared constants interpolated
+# into the oracle SQL AND the Spark expression (ADVICE r3) so a
+# one-sided edit cannot desync them.
+_HOST_DUP_MAJORITY_MULT = 2   # drop when dup_docs * MULT >= n_docs
+_HOST_MIN_MEAN_WORDS = 10     # drop when integer mean words/doc below this
+
 _HOST_ROLLUP_SQL = (
     "WITH d AS (SELECT doc_id, source, sha256(text) AS k, "
     "len(regexp_split_to_array(trim(text), '\\s+')) AS n_words "
@@ -1176,8 +1188,10 @@ _HOST_ROLLUP_SQL = (
     "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
     "CAST(sum(CASE WHEN kc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs, "
     "CAST(sum(n_words) // count(*) AS BIGINT) AS mean_words, "
-    "CAST(sum(CASE WHEN kc > 1 THEN 1 ELSE 0 END) * 2 < count(*) "
-    "AND sum(n_words) // count(*) >= 10 AS INT) AS keep "
+    "CAST(sum(CASE WHEN kc > 1 THEN 1 ELSE 0 END) "
+    f"* {_HOST_DUP_MAJORITY_MULT} < count(*) "
+    f"AND sum(n_words) // count(*) >= {_HOST_MIN_MEAN_WORDS} AS INT) "
+    "AS keep "
     "FROM d JOIN c USING (k) GROUP BY source"
 )
 
@@ -1214,8 +1228,10 @@ def host_quality_rollup(spark, sf):
                 "mean_words"
             ),
             F.expr(
-                "CAST(sum(CAST(kc > 1 AS LONG)) * 2 < count(*) "
-                "AND sum(n_words) DIV count(*) >= 10 AS INT)"
+                "CAST(sum(CAST(kc > 1 AS LONG)) "
+                f"* {_HOST_DUP_MAJORITY_MULT} < count(*) "
+                "AND sum(n_words) DIV count(*) "
+                f">= {_HOST_MIN_MEAN_WORDS} AS INT)"
             ).alias("keep"),
         )
     )

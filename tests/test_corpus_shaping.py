@@ -332,7 +332,12 @@ def test_token_shard_plan_no_global_window_over_corpus(spark, registry):
     plan = registry["token_shard_plan"].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
     import re as _re
 
-    # every Window over doc-level columns must carry a partition spec
-    for m in _re.finditer(r"Window \[sum\(n_tokens#?\w*", plan):
+    # every Window over doc-level columns must carry a partition spec;
+    # materialize the matches first so a plan-rendering change that stops
+    # the pattern matching FAILS loudly instead of passing vacuously
+    # (ADVICE r3)
+    matches = list(_re.finditer(r"Window \[sum\(n_tokens#?\w*", plan))
+    assert len(matches) >= 1, plan
+    for m in matches:
         seg = plan[m.start() : m.start() + 300]
         assert "blk" in seg, seg
