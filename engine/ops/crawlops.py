@@ -259,6 +259,48 @@ def crawl_lineage_agg(spark, sf):
     )
 
 
+@op("crawl_fetch_log", _golden("crawl_fetch_log"), "A")
+def crawl_fetch_log(spark, sf):
+    """The full flagship-crawl fetch SEQUENCE on the XS corpus — every
+    (round, fetch_seq, url, status, host) row of the lineage, pinned
+    row-for-row from refspec.run_crawl (refspec/crawler.py:147 assigns
+    fetch_seq as a dense counter over selected urls in (round, url)
+    order; engine/crawl.py:242 computes the identical rank with a
+    range-partitioned two-level sequence, no single-partition window).
+    A driver hash match on this op oracles the north rule's "matching
+    crawl ordering" claim itself — the exact fetch order, not just its
+    per-round aggregate (crawl_lineage_agg)."""
+    from engine.crawl import EngineConfig, run_crawl
+    from engine.snapstore import SnapStore
+    from fixtures.gen import gen_corpus
+
+    c = gen_corpus("XS")
+    pages = _xs_pages(spark)
+    robots = spark.createDataFrame(
+        [
+            (h, d, c.crawl_delay_ms.get(h, 0))
+            for h, d in sorted(c.robots.items())
+        ],
+        "host string, disallow array<string>, crawl_delay_ms int",
+    )
+    seeds = spark.createDataFrame(c.seeds, "url string, priority int")
+    store = SnapStore(tempfile.mkdtemp(prefix="crawlseq_"))
+    cfg = EngineConfig(
+        default_budget=c.default_budget,
+        budget_overrides=c.budget_overrides,
+        max_rounds=100,
+        salt=4,
+    )
+    run_crawl(spark, store, pages, robots, seeds, cfg)
+    return store.read(spark, "lineage").select(
+        F.col("round").cast("int").alias("round"),
+        F.col("fetch_seq").cast("long").alias("fetch_seq"),
+        "url",
+        "status",
+        "host",
+    )
+
+
 @op(
     "sink_bucketed_seen",
     # round-trip fidelity oracle: what was written bucketed must read back

@@ -310,6 +310,29 @@ def expect_crawl_lineage_agg():
     ]
 
 
+def expect_crawl_fetch_log():
+    """Row-for-row fetch sequence from refspec.run_crawl — pins the crawl
+    ORDERING itself (round, fetch_seq, url, status, host), not just its
+    per-round aggregate."""
+    from fixtures.gen import gen_corpus
+    from refspec import CrawlConfig, run_crawl as ref_run_crawl
+
+    c = gen_corpus("XS")
+    cfg = CrawlConfig(
+        seeds=tuple(c.seeds),
+        default_budget=c.default_budget,
+        budget_overrides=c.budget_overrides,
+        max_rounds=100,
+    )
+    res = ref_run_crawl(c.pages, c.robots, cfg)
+    # lineage rows: (round, host, url_hash, url, status, n_links,
+    # text_bytes, fetch_seq)
+    return [
+        (rnd, seq, url, status, host)
+        for rnd, host, _h, url, status, _nl, _tb, seq in res.lineage
+    ]
+
+
 # ----------------------------------------------------------- spark side
 
 
@@ -386,6 +409,7 @@ def main(argv):
         "ann_ivf": (expect_ann_ivf(emb), (3,)),
         "bloom_prune": (expect_bloom_prune(orders, lineitem), ()),
         "crawl_lineage_agg": (expect_crawl_lineage_agg(), ()),
+        "crawl_fetch_log": (expect_crawl_fetch_log(), ()),
         # HLL++ register state is Spark-defined; commutative merge makes it
         # partitioning-invariant, and tests/test_operators.py bounds its
         # error vs the exact count — pinned WITHOUT a pure recompute.
