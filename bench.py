@@ -158,10 +158,11 @@ def bench_crawl(spark, sf: float) -> dict:
         .filter(F.pmod(F.col("url_hash"), F.lit(4)) == 0)
         .select("url_hash", "url", F.lit(-1).alias("fetched_round"))
     )
+    n_seen0 = seen0.persist().count()
     store.commit_state(
         0,
         {"frontier": frontier_from_seeds(seeds), "seen": seen0},
-        {"round": -1},
+        {"round": -1, "n_seen_end": int(n_seen0)},
     )
 
     budget = max(8, (mean_pages * 3) // (4 * ROUNDS))

@@ -147,7 +147,7 @@ def bootstrap(
     store.commit_state(
         0,
         {"frontier": frontier0, "seen": seen0},
-        {"round": -1, "fetch_seq_end": 0},
+        {"round": -1, "fetch_seq_end": 0, "n_seen_end": 0},
         metrics_fn=lambda: {
             "frontier_rows": int(fobs.get["frontier_rows"] or 0)
         },
@@ -295,6 +295,18 @@ def run_round(
         "url_hash", "url", "fetched_round"
     )
     seen_next = seen.unionByName(seen_delta)
+    # cumulative seen size rides the manifest (n_seen_end) so the adaptive
+    # filter engage rule (engine/filters.adaptive_seen_filter_factory) is
+    # an O(1) JSON read, never a seen-table count.  Chain from the
+    # previous manifest; stores written before the metric existed pay one
+    # count job, then the chain self-heals.
+    n_seen_prev = (store.manifest(rnd).get("metrics") or {}).get("n_seen_end")
+    if n_seen_prev is None:
+        n_seen_prev = seen.select("url_hash").count()
+    sobs = Observation()
+    seen_delta_w = seen_delta.observe(
+        sobs, F.count(F.lit(1)).alias("n_seen_delta")
+    )
 
     kids = (
         ext.filter(F.col("status") == "200")
@@ -359,6 +371,7 @@ def run_round(
             "n_hosts": int(m["n_hosts"] or 0),
             "frontier_rows": int(fobs.get["frontier_rows"] or 0),
             "fetch_seq_end": fetch_seq_offset + n_selected,
+            "n_seen_end": n_seen_prev + int(sobs.get["n_seen_delta"] or 0),
         }
 
     # store-backed seen filters (engine/filters.StoreBloomFilter /
@@ -373,7 +386,7 @@ def run_round(
         rnd + 1,
         {
             "frontier": frontier_next,
-            "seen": seen_delta,
+            "seen": seen_delta_w,
             "lineage": lineage,
             "pages_out": pages_out,
             **extra_tables,

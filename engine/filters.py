@@ -296,6 +296,50 @@ def bloom_seen_filter_factory(
     return factory
 
 
+# Engage threshold for the adaptive rule (rows in the seen set).  Below
+# it the exact anti-join wins: at M scale (10^6 urls) both join sides fit
+# in memory and the bloom probe is pure overhead — measured throughput
+# ratio 0.707 bloom/exact (BENCH/m_crawl_bloom.json).  Above it the
+# per-round key shuffle of the exact path dominates (10^8 rows ≈ GBs of
+# url_hash keys re-shuffled EVERY round, growing with crawl length) while
+# the sharded bloom probe stays O(frontier) with a fixed ~1.2 GB/10^9-key
+# layer footprint — the 10^10 design point (SURVEY.md §4).
+ADAPTIVE_BLOOM_ENGAGE_ROWS = 100_000_000
+
+
+def adaptive_seen_filter_factory(
+    engage_rows: int = ADAPTIVE_BLOOM_ENGAGE_ROWS,
+    inner_factory=None,
+    **bloom_kw,
+):
+    """seen_filter_factory that engages the store-backed bloom pass only
+    once the seen set crosses ``engage_rows`` (VERDICT r3 #6): below the
+    threshold run_round gets ``None`` and does the plain exact anti-join
+    (filters prune, never decide — so fetched urls are identical either
+    way); above it, the inner store-backed factory takes over, paying its
+    one-time full-bloom backfill on the engage round and per-round deltas
+    after.  The seen size is the ``n_seen_end`` manifest metric — an O(1)
+    JSON read; stores written before that metric pay one count job (the
+    chain then self-heals via run_round).  The seen set is append-only,
+    so the decision is monotone: once engaged, always engaged."""
+
+    inner = inner_factory or bloom_seen_filter_factory(**bloom_kw)
+
+    def factory(spark, store, sid):
+        m = store.manifest(sid).get("metrics") or {}
+        n_seen = m.get("n_seen_end")
+        if n_seen is None:
+            try:
+                n_seen = store.read(spark, "seen", sid).count()
+            except FileNotFoundError:
+                n_seen = 0
+        if int(n_seen) < engage_rows:
+            return None
+        return inner(spark, store, sid)
+
+    return factory
+
+
 def bloom_tag(df, shards: BloomShards, col: str = "url_hash"):
     """Add `_maybe_seen`: True → must go through the exact anti-join;
     False → provably unseen, may skip it.  mapInPandas so the shard dict

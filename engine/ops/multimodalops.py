@@ -17,6 +17,7 @@ from engine.multimodal import (
     ingest_batches,
 )
 from engine.ops import op
+from engine.ops.goldens import golden_oracle as _golden
 
 
 def _with_media(spark, sf):
@@ -39,18 +40,24 @@ def mm_ingest_bytes(spark, sf):
     )
 
 
-@op("mm_decode_stub", None, "K")
+@op("mm_decode_stub", _golden("mm_decode_stub"), "K")
 def mm_decode_stub(spark, sf):
-    # typed metadata out of the (fake) decoder — real Arrow batch flow,
-    # rows-only check (the fake's semantics aren't ANSI SQL)
+    # typed metadata out of the (fake) decoder — real Arrow batch flow.
+    # The fake's semantics aren't ANSI SQL, but they ARE a pure function
+    # of the bytes, so the oracle is a pinned VALUES set generated (and
+    # asserted against an independent numpy/hashlib recompute) by
+    # scripts/gen_golden_oracles.py — same trust model as doc_fingerprint.
     media = _with_media(spark, sf)
     return media.mapInPandas(
         decode_batches, "doc_id long, width int, height int, mean_px double"
     )
 
 
-@op("mm_frame_sample", None, "K")
+@op("mm_frame_sample", _golden("mm_frame_sample"), "K")
 def mm_frame_sample(spark, sf):
+    # one row per sampled 32-byte 'frame' (stride 64) — pinned VALUES
+    # oracle over the deterministic fake, recompute-asserted (see
+    # mm_decode_stub note)
     media = _with_media(spark, sf)
     return media.mapInPandas(
         frame_sample_batches, "doc_id long, frame_idx int, frame_hash string"

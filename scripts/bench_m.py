@@ -40,7 +40,7 @@ def main() -> int:
     p.add_argument("--rounds", type=int, default=3)
     p.add_argument("--budget", type=int, default=1000)
     p.add_argument("--corpus", default=M_CORPUS)
-    p.add_argument("--seen-filter", default="exact", choices=["exact", "bloom"])
+    p.add_argument("--seen-filter", default="exact", choices=["exact", "bloom", "auto"])
     p.add_argument("--out", default="m_crawl.json")
     args = p.parse_args()
 

@@ -371,7 +371,7 @@ def run_worker(args) -> dict:
     frontier0 = frontier_from_seeds(seeds).persist()
     seen0 = seen0.persist()
     frontier0.count()
-    seen0.count()
+    n_seen0 = seen0.count()
     warm_sec = time.time() - t0
 
     cfg = EngineConfig(
@@ -387,6 +387,13 @@ def run_worker(args) -> dict:
         from engine.filters import bloom_seen_filter_factory
 
         factory = bloom_seen_filter_factory()
+    elif args.seen_filter == "auto":
+        # adaptive engage rule (engine/filters.adaptive_seen_filter_factory):
+        # exact anti-join below the seen-rows threshold, store-backed bloom
+        # above it — fetched urls identical either way
+        from engine.filters import adaptive_seen_filter_factory
+
+        factory = adaptive_seen_filter_factory()
 
     from pyspark.sql import functions as FF
 
@@ -395,7 +402,14 @@ def run_worker(args) -> dict:
         # frontier/seen frames is unmeasured (bootstrap_sec)
         tb = time.time()
         store = SnapStore(tempfile.mkdtemp(prefix=f"scale{cpus}_"))
-        store.commit_state(0, {"frontier": frontier0, "seen": seen0}, {})
+        # n_seen_end at bootstrap keeps the adaptive/metric chain O(1) —
+        # without it run_round's one-time count fallback would land inside
+        # measured round 0
+        store.commit_state(
+            0,
+            {"frontier": frontier0, "seen": seen0},
+            {"n_seen_end": int(n_seen0)},
+        )
         boot_sec = time.time() - tb
         rounds = []
         offset = 0
@@ -1247,7 +1261,7 @@ def main() -> int:
     p.add_argument("--cooldown", type=int, default=45)
     p.add_argument("--out-suffix", default="")
     p.add_argument("--budget", type=int, default=500)
-    p.add_argument("--seen-filter", default="exact", choices=["exact", "bloom"])
+    p.add_argument("--seen-filter", default="exact", choices=["exact", "bloom", "auto"])
     p.add_argument("--thread-profile", action="store_true")
     # partitions per core for the round pipeline's explicit repartitions.
     # 3x (the cluster-standard 2-4x rule): with exactly 1 task per core a

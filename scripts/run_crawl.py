@@ -39,6 +39,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--salt", type=int, default=8)
     ap.add_argument("--shuffle-partitions", type=int, default=32)
     ap.add_argument("--master", default=None, help="override master (tests only)")
+    ap.add_argument(
+        "--seen-filter",
+        default="auto",
+        choices=["auto", "exact", "bloom", "cuckoo"],
+        help="seen-set probe strategy: auto (default) runs the exact "
+        "anti-join until the seen set crosses the engage threshold, then "
+        "switches to the store-backed sharded bloom pass — fetched urls "
+        "are identical in every mode (filters prune, never decide)",
+    )
     args = ap.parse_args(argv)
 
     from engine.crawl import EngineConfig, run_crawl
@@ -66,8 +75,26 @@ def main(argv: list[str] | None = None) -> int:
         max_rounds=args.max_rounds,
         salt=args.salt,
     )
+    from engine.filters import (
+        adaptive_seen_filter_factory,
+        bloom_seen_filter_factory,
+        cuckoo_seen_filter_factory,
+    )
+
+    factory = {
+        "auto": adaptive_seen_filter_factory(),
+        "exact": None,
+        "bloom": bloom_seen_filter_factory(),
+        "cuckoo": cuckoo_seen_filter_factory(),
+    }[args.seen_filter]
     rounds = run_crawl(
-        spark, store, tables["pages"], tables["robots"], tables["seeds"], cfg
+        spark,
+        store,
+        tables["pages"],
+        tables["robots"],
+        tables["seeds"],
+        cfg,
+        seen_filter_factory=factory,
     )
     sid = store.latest()
     lineage = store.read(spark, "lineage", sid)

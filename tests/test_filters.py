@@ -213,6 +213,77 @@ def test_bloom_pruned_crawl_equals_exact(spark, tmp_path_factory):
     assert live_key_mass(stores[3]) == n_seen
 
 
+def test_adaptive_seen_filter_engages_on_threshold(spark, tmp_path_factory):
+    """adaptive_seen_filter_factory (VERDICT r3 #6): below the engage
+    threshold the crawl runs the plain exact anti-join (no shard table is
+    ever committed); above it the store-backed bloom takes over MID-CRAWL
+    via its one-time backfill — and the fetch log + seen set are
+    byte-identical in all three modes (filters prune, never decide).  The
+    n_seen_end manifest metric that drives the O(1) engage decision must
+    chain to exactly the seen-table row count at every snapshot."""
+    from engine.crawl import EngineConfig, fetch_log, run_crawl
+    from engine.filters import adaptive_seen_filter_factory
+    from engine.io import load_corpus
+    from engine.snapstore import SnapStore
+    from fixtures.gen import gen_corpus, write_parquet
+
+    d = tmp_path_factory.mktemp("xs_corpus_adapt")
+    write_parquet(gen_corpus("XS"), str(d))
+    tables = load_corpus(spark, str(d))
+    cfg = EngineConfig(default_budget=2, max_rounds=100, salt=2)
+
+    results, stores = [], []
+    for factory in (
+        None,  # exact baseline
+        # threshold far above XS scale: auto must act exactly like exact
+        adaptive_seen_filter_factory(engage_rows=10**9, n_shards=8),
+        # threshold 1: exact at round 0 (seen empty), bloom from round 1 on
+        adaptive_seen_filter_factory(engage_rows=1, n_shards=8),
+    ):
+        store = SnapStore(str(tmp_path_factory.mktemp("adaptstore")))
+        run_crawl(
+            spark,
+            store,
+            tables["pages"],
+            tables["robots"],
+            tables["seeds"],
+            cfg,
+            seen_filter_factory=factory,
+        )
+        log = [tuple(r) for r in fetch_log(spark, store).collect()]
+        seen = sorted(
+            (r["url_hash"], r["url"])
+            for r in store.read(spark, "seen").collect()
+        )
+        results.append((log, seen))
+        stores.append(store)
+
+    assert results[0] == results[1]  # not-engaged auto ≡ exact
+    assert results[0] == results[2]  # mid-crawl-engaged auto ≡ exact
+
+    # below threshold: the bloom machinery never ran — no shard table
+    with pytest.raises(FileNotFoundError):
+        stores[1].read(spark, "bloomshards")
+    # above threshold: shards exist from the engage round on, and the
+    # live layers cover exactly the final seen set
+    rows = stores[2].read(spark, "bloomshards").collect()
+    assert rows, "engaged adaptive filter committed no shard layers"
+    fulls = [r["gen"] for r in rows if r["full"]]
+    cutoff = max(fulls) if fulls else -1
+    live = sum(
+        r["n_keys"]
+        for r in rows
+        if (r["full"] and r["gen"] == cutoff) or r["gen"] > cutoff
+    )
+    assert live == len(results[0][1])
+
+    # the engage decision's input: n_seen_end chains to the true count
+    for store in stores:
+        sid = store.latest()
+        m = store.manifest(sid).get("metrics") or {}
+        assert m.get("n_seen_end") == store.read(spark, "seen", sid).count()
+
+
 @pytest.mark.slow
 def test_bloom_filtered_crawl_survives_kill_resume(spark, tmp_path_factory):
     """Kill between data write and manifest commit WITH the store-backed
