@@ -22,8 +22,15 @@ mode): single-shot crawl numbers on this co-tenanted host swing up to ±2×
 a headline artifact must carry median + spread or it is evidence of
 nothing (VERDICT r2 item 4).
 
+Registry-op timings are per-query MEDIANS of $SPARK_GRAFT_QUERY_REPS
+(default 3) executions — steady-state execution cost, because a fresh
+JVM's FIRST execution of each query shape pays 0.5-2.5 s of one-off
+JIT/codegen/scan warm-up (the BENCH_r03 early-suite inflation, bisected
+in round 4); first-run times ride along in "queries_cold".
+
 Output: {"metric": "headline_suite_sec", "value": <total sec>,
-         "unit": "sec", "queries": {name: sec, ...}, "sf": <float>,
+         "unit": "sec", "queries": {name: median sec, ...},
+         "queries_cold": {name: first-run sec, ...}, "sf": <float>,
          "crawl": {"fetched_urls":…, "frontier_urls":…, "sec":…,
                    "urls_per_sec":…, "median_sec":…, "samples":[…]},
          "cpus": N}
@@ -311,14 +318,29 @@ def main() -> int:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
+    # Per-query MEDIAN of K executions (default 3): a first execution in
+    # a fresh JVM pays 0.5-2.5 s of query-shape-specific JIT/codegen/scan
+    # warm-up (bisected r4: anti_join_seen 3.29 -> 0.74 -> 0.60 s across
+    # reps, identical under stock and fastdaemon workers), which is what
+    # inflated BENCH_r03's early-suite numbers 1.4-2.8x after r3 moved the
+    # crawl phase out of this JVM into subprocesses — r2's suite had been
+    # riding the in-process crawl's warm-up.  The median is the
+    # steady-state execution cost (the regression-detection signal); the
+    # first-run times are retained in queries_cold so nothing is hidden.
+    reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "3"))
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY.get(name)
         if spec is None:
             continue
-        t0 = time.time()
-        _force(spec.fn(spark, SF_DIR))
-        times[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            _force(spec.fn(spark, SF_DIR))
+            samples.append(round(time.time() - t0, 3))
+        cold[name] = samples[0]
+        times[name] = sorted(samples)[len(samples) // 2]
 
     times["crawl_3rounds"] = crawl["median_sec"]
 
@@ -330,6 +352,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_cold": cold,
+                "query_reps": reps,
                 "sf": sf,
                 "crawl": crawl,
                 "cpus": CPUS,
