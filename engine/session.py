@@ -33,6 +33,24 @@ ENGINE_CONFS = {
     # (engine/fastdaemon.py — measured 0.25-0.7 s of Python CPU per task,
     # the dominant wide-parallelism tax in BENCH/scaling_4to16.json)
     "spark.python.daemon.module": "engine.fastdaemon",
+    # Force the sort-based shuffle writer.  Below this threshold Spark uses
+    # BypassMergeSortShuffleWriter, which opens one file PER REDUCE
+    # PARTITION per map task — at 48 partitions that is ~2,300 file
+    # creates per shuffle and jstack sampling showed 18% of wide-level
+    # executor busy samples inside FileOutputStream.open0 (kernel-side
+    # create contention).  A 10^10-frontier job runs with P >> 200 and
+    # would take the sort-based path anyway — this makes the local proxy
+    # run the same writer (one spill file + index per map task).
+    "spark.shuffle.sort.bypassMergeThreshold": "8",
+    # Fewer, larger shuffle write syscalls (default 32k).
+    "spark.shuffle.file.buffer": "1m",
+    # Per-round persisted frames carry multi-KB text/html values: at the
+    # default 10k-row cache batch a single column buffer is 70-200 MB,
+    # and its doubling growth is a G1-humongous allocation + copyMemory
+    # storm (measured: ByteBuffer.allocate/Platform.copyMemory dominated
+    # the in-memory-cache build samples).  1k-row batches keep buffers
+    # under the G1 region size at these row widths.
+    "spark.sql.inMemoryColumnarStorage.batchSize": "1000",
 }
 
 
@@ -53,6 +71,18 @@ def get_spark(
     b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in ENGINE_CONFS.items():
         b = b.config(k, v)
+    # Shuffle/spill local dirs: on this single-box proxy every executor
+    # thread shares one virtio disk, so shuffle-file creation contends in
+    # the fs journal; real executors get per-node local SSDs (YARN/K8s
+    # provide LOCAL_DIRS/emptyDir and override spark.local.dir, so this is
+    # inert on a cluster).  tmpfs keeps the measured cost the engine's,
+    # not the shared disk's.
+    import os as _os_ld
+
+    if _os_ld.path.isdir("/dev/shm"):
+        _ld = "/dev/shm/spark-local"
+        _os_ld.makedirs(_ld, exist_ok=True)
+        b = b.config("spark.local.dir", _ld)
     # the daemon process imports engine.fastdaemon BEFORE py-files setup,
     # so the package root must be on the worker python path (cluster
     # equivalent: --conf spark.executorEnv.PYTHONPATH=engine.zip)

@@ -47,6 +47,12 @@ class SnapStore:
         self.manifest_dir = os.path.join(root, "manifests")
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.manifest_dir, exist_ok=True)
+        # A committed manifest is immutable (manifest-last protocol: the
+        # rename IS the commit), so parse each one once per store instance.
+        # Without this, every read of an append table re-opens and re-parses
+        # all manifests 0..sid — O(R^2) JSON parses over an R-round crawl,
+        # the first driver-side cost to grow with crawl history.
+        self._manifest_cache: dict[int, dict] = {}
 
     # ---- manifest bookkeeping -------------------------------------------
     def _manifest_path(self, sid: int) -> str:
@@ -64,8 +70,12 @@ class SnapStore:
         return ids[-1] if ids else None
 
     def manifest(self, sid: int) -> dict:
-        with open(self._manifest_path(sid)) as fh:
-            return json.load(fh)
+        doc = self._manifest_cache.get(sid)
+        if doc is None:
+            with open(self._manifest_path(sid)) as fh:
+                doc = json.load(fh)
+            self._manifest_cache[sid] = doc
+        return doc
 
     # ---- commit (manifest-last, atomic) ---------------------------------
     def commit_state(
@@ -119,6 +129,9 @@ class SnapStore:
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, self._manifest_path(sid))
+        # Keep the cache coherent with a re-commit of the same sid (resume
+        # re-running a killed round overwrites the orphan's id).
+        self._manifest_cache[sid] = doc
         return doc["metrics"]
 
     # ---- read / time travel ---------------------------------------------

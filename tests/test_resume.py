@@ -5,6 +5,7 @@ resume, and the final state must be byte-for-byte the uninterrupted run's.
 
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
@@ -143,3 +144,33 @@ def test_gc_orphans_removes_only_uncommitted(spark, xs, tmp_path_factory):
     # committed snapshots untouched and still readable
     assert store.latest() == 1
     assert store.read(spark, "frontier", 1).count() > 0
+
+
+def test_manifest_cache_is_coherent_and_hit_after_commit(tmp_path):
+    """Manifests are parsed once per store instance (the read path walks
+    manifests 0..sid on EVERY append-table read, so an uncached store does
+    O(R^2) JSON parses over an R-round crawl), and a re-commit of the same
+    sid — resume overwriting a killed round's orphan — must refresh the
+    cached doc, not serve the stale one."""
+    store = SnapStore(str(tmp_path / "store"))
+
+    # Hand-written manifest (no Spark needed: manifest() is pure fs).
+    doc = {"snapshot": 0, "tables": {"seen": "seen/s=000000"}, "metrics": {}}
+    with open(store._manifest_path(0), "w") as fh:
+        json.dump(doc, fh)
+    assert store.manifest(0) == doc
+
+    # Cached: a disk mutation behind the store's back is NOT observed …
+    with open(store._manifest_path(0), "w") as fh:
+        json.dump({"snapshot": 0, "tables": {}, "metrics": {"x": 1}}, fh)
+    assert store.manifest(0) == doc, "manifest(0) must be served from cache"
+
+    # … but a fresh instance on the same root reads the current bytes,
+    # which is what resume does.
+    assert SnapStore(store.root).manifest(0)["metrics"] == {"x": 1}
+
+    # commit_state on an existing sid refreshes the cache (empty tables
+    # dict: no DataFrames required to exercise the manifest write path).
+    metrics = store.commit_state(0, {}, metrics={"recommitted": True})
+    assert metrics == {"recommitted": True}
+    assert store.manifest(0)["metrics"] == {"recommitted": True}
