@@ -1288,6 +1288,7 @@ def _write_md(rep: dict, path: str) -> None:
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--worker", action="store_true")
+    p.add_argument("--render-only", action="store_true")
     # resident-worker protocol: stay alive, run a sample per stdin RUN
     p.add_argument("--serve", action="store_true")
     p.add_argument("--ctl-dir", default="/tmp/spark_graft_bench/ctl")
@@ -1339,6 +1340,15 @@ def main() -> int:
     p.add_argument("--mean-pages", type=int, default=1200)
     p.add_argument("--body-words", type=int, default=3000)
     args = p.parse_args()
+    if args.render_only:
+        # re-render BENCH/BASELINE.md from the saved headline artifact plus
+        # whatever sibling sample files now exist (history table, M rows,
+        # wide-pair section) — no Spark, no re-measurement
+        headline = os.path.join(REPO, "BENCH", "scaling.json")
+        with open(headline) as fh:
+            _write_md(json.load(fh), os.path.join(REPO, "BENCH", "BASELINE.md"))
+        print("re-rendered BENCH/BASELINE.md")
+        return 0
     if args.worker:
         res = run_worker(args)
         if res is not None:  # --serve prints RESULT lines itself
