@@ -1249,6 +1249,46 @@ def _write_md(rep: dict, path: str) -> None:
             "straddles — the criterion pair remains the headline 2→8, whose",
             "endpoints both sit on honestly-scaling hardware.",
         ]
+        r4_files = [
+            f"scaling_4to16_r{n}.json"
+            for n in (7, 8, 9)
+            if os.path.exists(os.path.join(bench_dir, f"scaling_4to16_r{n}.json"))
+        ]
+        if r4_files:
+            r4 = []
+            for fn in r4_files:
+                with open(os.path.join(bench_dir, fn)) as fh:
+                    r4.append((fn, json.load(fh)))
+            lines += [
+                "",
+                "Round 4 re-attacked the wide pair from the JVM side after",
+                "discovering that the retained 0.807 sample (r5) predated the",
+                "fast extractor: with extraction CPU halved, rounds became",
+                "JVM-CPU-bound, and jstack sampling of a pinned local[16]",
+                "crawl showed the java inflation was (a) the bypass shuffle",
+                "writer's one-file-per-reduce-partition-per-map-task create",
+                "storm (18% of busy executor samples in",
+                "FileOutputStream.open0), (b) 70-200MB in-memory-cache column",
+                "batches (G1-humongous allocation churn) for multi-KB rows,",
+                "(c) 32k shuffle write buffers.  Fixes (engine/session.py):",
+                "sort-based shuffle writer (the path any P>>200 cluster job",
+                "takes anyway), tmpfs local dirs on the single-box proxy",
+                "(inert on YARN/K8s), 1k-row cache batches.  A/B at",
+                "local[16]: rounds 1-2 java CPU 140/135 → 79/82 core-sec,",
+                "round wall -37%, identical fetch sets.  96-partition A/B",
+                "(scaling_4to16_p96.json) went the other way — per-task JVM",
+                "overhead, not wave granularity, was the binding cost — so",
+                "round 4 samples stay at the data-faithful 48.  Round-4",
+                "full-protocol samples (budget 800 — the documented",
+                "workload's round sizes, which r6/p96 had dropped to 500):",
+                "",
+            ] + [
+                f"- `{fn}`: totals {d.get('value')}, median-round"
+                f" {d.get('median_round_eff')}, engine-vs-substrate"
+                f" {d.get('engine_vs_substrate')} (pairwise totals"
+                f" {d.get('pairwise_eff')})"
+                for fn, d in r4
+            ]
     lines += [
         "",
         "## Honest caveats",
