@@ -1250,9 +1250,14 @@ def _write_md(rep: dict, path: str) -> None:
             "endpoints both sit on honestly-scaling hardware.",
         ]
         r4_files = [
-            f"scaling_4to16_r{n}.json"
-            for n in (7, 8, 9)
-            if os.path.exists(os.path.join(bench_dir, f"scaling_4to16_r{n}.json"))
+            fn
+            for fn in (
+                "scaling_4to16_r7.json",
+                "scaling_4to16_r8.json",
+                "scaling_4to16_r9.json",
+                "scaling_4to16_biground.json",
+            )
+            if os.path.exists(os.path.join(bench_dir, fn))
         ]
         if r4_files:
             r4 = []
@@ -1279,8 +1284,11 @@ def _write_md(rep: dict, path: str) -> None:
                 "(scaling_4to16_p96.json) went the other way — per-task JVM",
                 "overhead, not wave granularity, was the binding cost — so",
                 "round 4 samples stay at the data-faithful 48.  Round-4",
-                "full-protocol samples (budget 800 — the documented",
-                "workload's round sizes, which r6/p96 had dropped to 500):",
+                "full-protocol samples (budget 800; `biground` additionally",
+                "scales the corpus 3.5× — 1024 hosts × 2100 mean pages,",
+                "~2.1M urls — so a level-16 round lasts ~60s, the",
+                "cluster-realistic regime where per-round fixed costs",
+                "amortize):",
                 "",
             ] + [
                 f"- `{fn}`: totals {d.get('value')}, median-round"
@@ -1288,6 +1296,29 @@ def _write_md(rep: dict, path: str) -> None:
                 f" {d.get('engine_vs_substrate')} (pairwise totals"
                 f" {d.get('pairwise_eff')})"
                 for fn, d in r4
+            ] + [
+                "",
+                "What r7 measured, honestly read: pairwise totals degrade",
+                "across the THREE PAIRS INSIDE one artifact (0.634 → 0.545 →",
+                "0.318) while the level-4 resident stays flat and the pair-2",
+                "substrate is clean (sha 0.999 / parse 0.974) — i.e. the",
+                "level-16 RESIDENT JVM ages: round 0 of later pairs doubles",
+                "in wall with java CPU 150 → 418 core-sec at low GC (4.8s).",
+                "The signature (round-0-only, both java and python inflate,",
+                "level-4 immune) points at storage eviction of the cached",
+                "pages index under 16-concurrent-task execution-memory",
+                "pressure, forcing a full re-scan+re-cache each later pair.",
+                "On a cluster this is an executor-memory sizing question",
+                "(storage headroom per 16-slot executor), not a scaling",
+                "property of the plan; on this box it makes later resident",
+                "pairs measure cache-rebuild, not crawl.  The `biground`",
+                "sample is the controlled answer to the other confound —",
+                "round size: with extraction CPU halved by the fast",
+                "extractor, a budget-800 round at 614k urls lasts only",
+                "~15-30s at 16 workers, so driver-serial (~2-3s/round) and",
+                "stage-commit fixed costs bound efficiency at ~0.65",
+                "regardless of plan shape; real crawl rounds at cluster",
+                "scale are minutes-to-hours.",
             ]
     lines += [
         "",
