@@ -275,6 +275,20 @@ def ensure_corpus(path: str, n_hosts: int, mean_pages: int, body_words: int) -> 
     print(f"corpus ready in {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
 
 
+def _du_local_dir(root: str = "/dev/shm/spark-local") -> int:
+    """Byte footprint of the tmpfs spark.local.dir (shuffle files, spills,
+    disk-spilled cache blocks).  Fast enough to run between samples; never
+    called inside a measured round."""
+    total = 0
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for f in filenames:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    return total
+
+
 def run_worker(args) -> dict:
     """One parallelism level: bootstrap (unmeasured warm-up) + measured rounds."""
     import tempfile
@@ -509,6 +523,23 @@ def run_worker(args) -> dict:
         if cmd == "EXIT":
             break
         res = one_sample()
+        # Between-sample JVM hygiene + evidence (r7 aging investigation).
+        # The resident worker's 56g bench heap is deliberately oversized so
+        # GC never perturbs a measured round — but Spark's ContextCleaner
+        # frees stale shuffle files / broadcasts only when driver GC
+        # processes their weak refs, so an idle heap lets the tmpfs
+        # spark.local.dir accumulate dead shuffle state across samples
+        # (page-cache pressure a normally-sized executor heap never sees).
+        # Record the local-dir footprint, run the GC a real executor's
+        # heap cadence would have run, record it again — unmeasured,
+        # between pairs.
+        res["local_dir_bytes_pre_gc"] = _du_local_dir()
+        try:
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(2.0)  # let ContextCleaner drain its ref queue
+        except Exception:
+            pass
+        res["local_dir_bytes_post_gc"] = _du_local_dir()
         res_tmp = os.path.join(args.ctl_dir, f"result_{k}.json.tmp")
         with open(res_tmp, "w") as fh:
             json.dump(res, fh)
@@ -825,6 +856,18 @@ def orchestrate(args) -> int:
         "pairwise_median_round_eff": pair_med_round_effs,
         "sample_round_sec_totals": {
             str(c): [r["round_sec_total"] for r in runs[c]] for c in levels
+        },
+        # tmpfs local-dir footprint after each sample, before/after the
+        # between-sample ContextCleaner GC (resident-JVM aging evidence)
+        "local_dir_bytes": {
+            str(c): [
+                [
+                    r.get("local_dir_bytes_pre_gc"),
+                    r.get("local_dir_bytes_post_gc"),
+                ]
+                for r in runs[c]
+            ]
+            for c in levels
         },
         "warm_pairs": args.warm_pairs if not args.sequential else 0,
         "warm_round_sec_totals": {
