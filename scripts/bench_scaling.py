@@ -347,8 +347,40 @@ def run_worker(args) -> dict:
         with open(idx_marker, "w") as fh:
             fh.write("ok")
     n_par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Cache storage level is SIZE-ADAPTIVE.  The r7 aging signature
+    # (round-0-only wall+CPU inflation of later resident pairs, level-16
+    # only) is what thrash-eviction of a deserialized in-heap cache looks
+    # like once the index outgrows the JVM's guaranteed storage fraction:
+    # execution pressure evicts blocks, the next sample's biggest round
+    # pays a re-scan+re-cache, repeat.  Above a threshold where the
+    # in-memory columnar batches cannot honestly stay resident in a 40g
+    # shared-box JVM (~3 GB of parquet ≈ >10 GB of cached batches for this
+    # corpus family), cache DISK_ONLY instead: blocks live POST-repartition
+    # (the fetch join's exchange-free HashPartitioning is preserved) on the
+    # tmpfs local dir — the single-box analog of an executor's local-SSD
+    # cache — paying one lz4 decode per access, identically at both levels,
+    # and leaving the whole unified-memory region to execution.  Below the
+    # threshold the protocol is unchanged (deserialized in-memory, the
+    # r2-r7 configuration).
+    from pyspark import StorageLevel
+
+    idx_bytes = _du_local_dir(idx_cache)
+    lvl = (
+        StorageLevel.DISK_ONLY
+        if idx_bytes > (3 << 30)
+        else StorageLevel.MEMORY_AND_DISK_DESER
+    )
     pidx = (
-        spark.read.parquet(idx_cache).repartition(n_par, "url_hash").persist()
+        spark.read.parquet(idx_cache)
+        .repartition(n_par, "url_hash")
+        .persist(lvl)
+    )
+    print(
+        f"[{cpus} cores] pidx cache level "
+        f"{'DISK_ONLY' if lvl == StorageLevel.DISK_ONLY else 'MEMORY_AND_DISK_DESER'}"
+        f" (idx parquet {idx_bytes / (1 << 30):.1f} GB)",
+        file=sys.stderr,
+        flush=True,
     )
     n_pages = pidx.count()
     # touch every Arrow UDF once so python-worker spawn + module import +
