@@ -1079,6 +1079,33 @@ def _write_md(rep: dict, path: str) -> None:
             + (f" (median of {len(ma_all)}, spread {spread})" if spread else "")
             + f" | {ma['per_core']} |",
         ]
+
+    # L rows: the 10^7-URL-frontier decade (scripts/bench_l.py) — a
+    # STRUCTURE stress (frontier machinery + store), not a throughput
+    # headline; pages are ~0.5 KB so extraction never drowns the signal
+    def _l_sample(fname: str) -> dict | None:
+        fp = os.path.join(os.path.dirname(path), fname)
+        if not os.path.exists(fp):
+            return None
+        with open(fp) as fh:
+            return json.load(fh)
+
+    l_rows = [
+        (tag, d)
+        for tag, d in (
+            ("BLOOM", _l_sample("l_crawl.json")),
+            ("exact", _l_sample("l_crawl_exact.json")),
+            ("AUTO", _l_sample("l_crawl_auto.json")),
+        )
+        if d is not None
+    ]
+    for tag, d in l_rows:
+        lv = d["level"]
+        lines += [
+            f"| local[{d['cpus']}] (L corpus, {d['corpus']['n_pages']:,}"
+            f" urls, {tag} seen-filter) | {lv['fetched_total']:,} | "
+            f"{lv['round_sec_total']} | {d['value']} | {d['per_core']} |",
+        ]
     if m is not None:
         lines += [
             "",
@@ -1142,6 +1169,30 @@ def _write_md(rep: dict, path: str) -> None:
             f" **{round(ma['value'] / m['value'], 3)}** (target: within ~5%",
             "of exact — the bloom tax at sub-crossover scale is gone).",
             "Per-round detail in `BENCH/m_crawl_auto.json`.",
+        ]
+    if l_rows:
+        manifests = l_rows[0][1].get("manifest_bytes", {})
+        max_manifest = max(manifests.values()) if manifests else 0
+        fetch_counts = {d["level"]["fetched_total"] for _t, d in l_rows}
+        lines += [
+            "",
+            "The L rows are the ~10^7-URL-frontier decade stress",
+            "(scripts/bench_l.py: 1000 hosts x 10^4 mean pages, zipf 1.2,",
+            "body_words=24 — frontier machinery and store structures are",
+            "the target, so pages stay ~0.5 KB).  What it measured: every",
+            "per-snapshot manifest stays flat",
+            f"({max_manifest} bytes max across {len(manifests)} snapshots —",
+            "offsets + counts, never per-file or per-url lists), bootstrap",
+            "canon+hash over the full 10^7 frontier is seconds",
+            "(`bootstrap_sec`), and fetched-url counts are "
+            + (
+                "IDENTICAL across seen-filter modes"
+                if len(fetch_counts) == 1
+                else "**DIFFERENT across modes — BUG**"
+            )
+            + " one decade past M.",
+            "Per-round detail in `BENCH/l_crawl*.json`; the",
+            "first-structure-that-degrades note is in SURVEY.md §6.",
         ]
     sub = rep.get("substrate", {})
     lines += [
