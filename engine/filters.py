@@ -296,34 +296,65 @@ def bloom_seen_filter_factory(
     return factory
 
 
-# Engage threshold for the adaptive rule (rows in the seen set).  Below
-# it the exact anti-join wins: at M scale (10^6 urls) both join sides fit
-# in memory and the bloom probe is pure overhead — measured throughput
-# ratio 0.707 bloom/exact (BENCH/m_crawl_bloom.json).  Above it the
-# per-round key shuffle of the exact path dominates (10^8 rows ≈ GBs of
-# url_hash keys re-shuffled EVERY round, growing with crawl length) while
-# the sharded bloom probe stays O(frontier) with a fixed ~1.2 GB/10^9-key
-# layer footprint — the 10^10 design point (SURVEY.md §4).
-ADAPTIVE_BLOOM_ENGAGE_ROWS = 100_000_000
+# Engage threshold for the adaptive rule, expressed as BYTES of seen-set
+# state (estimated as n_seen_end × SEEN_ROW_BYTES — the manifest metric ×
+# a conservative row width, both O(1) reads).  The probe pass costs
+# O(frontier) python CPU per round (measured ~100 core-sec at L's 10^7
+# frontier) while it can only save work proportional to the SEEN side, so
+# bloom is a tax whenever the exact anti-join's build side still fits in
+# executor unified memory: measured 0.707× exact at M (5×10^5 seen) and
+# 0.605× at L (the tax GROWS with frontier/seen ratio — SURVEY.md §6
+# round-4 L stress).  Engagement is therefore sized to the point where
+# seen state stops fitting: ~32 GiB ≈ the per-executor memory scale where
+# a sharded in-memory build side is no longer realistic and the exact
+# path must re-shuffle GBs of url_hash keys EVERY round, growing with
+# crawl length, while the sharded bloom probe stays O(frontier) with a
+# fixed ~1.2 GB/10^9-key layer footprint — the 10^10 design point
+# (SURVEY.md §4).  At the default width this lands at ~3.6×10^8 rows.
+ADAPTIVE_BLOOM_ENGAGE_BYTES = 32 << 30
+# conservative seen-row width: url_hash int64 (8) + canonical url string
+# (~70 B avg on web corpora, prefix-dedup-hostile) + fetched_round int +
+# per-row parquet/arrow overhead
+SEEN_ROW_BYTES = 96
+# retained row-count form of the same threshold (back-compat; equal to
+# ADAPTIVE_BLOOM_ENGAGE_BYTES / SEEN_ROW_BYTES rounded to a decade)
+ADAPTIVE_BLOOM_ENGAGE_ROWS = ADAPTIVE_BLOOM_ENGAGE_BYTES // SEEN_ROW_BYTES
 
 
 def adaptive_seen_filter_factory(
-    engage_rows: int = ADAPTIVE_BLOOM_ENGAGE_ROWS,
+    engage_rows: int | None = None,
     inner_factory=None,
+    engage_bytes: int = ADAPTIVE_BLOOM_ENGAGE_BYTES,
+    row_bytes: int = SEEN_ROW_BYTES,
     **bloom_kw,
 ):
     """seen_filter_factory that engages the store-backed bloom pass only
-    once the seen set crosses ``engage_rows`` (VERDICT r3 #6): below the
-    threshold run_round gets ``None`` and does the plain exact anti-join
-    (filters prune, never decide — so fetched urls are identical either
-    way); above it, the inner store-backed factory takes over, paying its
+    once the seen set outgrows executor memory (VERDICT r3 #6; refined by
+    the round-4 L-decade stress, SURVEY.md §6): below the threshold
+    run_round gets ``None`` and does the plain exact anti-join (filters
+    prune, never decide — so fetched urls are identical either way);
+    above it, the inner store-backed factory takes over, paying its
     one-time full-bloom backfill on the engage round and per-round deltas
-    after.  The seen size is the ``n_seen_end`` manifest metric — an O(1)
-    JSON read; stores written before that metric pay one count job (the
-    chain then self-heals via run_round).  The seen set is append-only,
-    so the decision is monotone: once engaged, always engaged."""
+    after.
+
+    The gate is BYTES-based: ``n_seen_end × row_bytes ≥ engage_bytes``.
+    Rows alone mis-price the 10^10-frontier/10^8-seen regime — the probe
+    pass scans every frontier candidate (cost ∝ frontier) to prune an
+    anti-join whose build side still fits in memory (savings ∝ seen), so
+    engagement keys on when seen state stops fitting, which the manifest's
+    ``n_seen_end`` metric × a conservative row width approximates in one
+    O(1) JSON read.  ``engage_rows`` (row-count form) is retained for
+    tests/callers that reason in rows; when given it overrides the bytes
+    gate.  Stores written before the metric pay one count job (the chain
+    then self-heals via run_round).  The seen set is append-only, so the
+    decision is monotone: once engaged, always engaged."""
 
     inner = inner_factory or bloom_seen_filter_factory(**bloom_kw)
+    thresh_rows = (
+        int(engage_rows)
+        if engage_rows is not None
+        else -(-engage_bytes // row_bytes)  # ceil
+    )
 
     def factory(spark, store, sid):
         m = store.manifest(sid).get("metrics") or {}
@@ -333,7 +364,7 @@ def adaptive_seen_filter_factory(
                 n_seen = store.read(spark, "seen", sid).count()
             except FileNotFoundError:
                 n_seen = 0
-        if int(n_seen) < engage_rows:
+        if int(n_seen) < thresh_rows:
             return None
         return inner(spark, store, sid)
 

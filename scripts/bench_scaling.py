@@ -1159,8 +1159,13 @@ def _write_md(rep: dict, path: str) -> None:
             "",
             "The AUTO row is `--seen-filter auto`"
             " (engine/filters.adaptive_seen_filter_factory): the",
-            "store-backed bloom pass engages only once the manifest's",
-            "`n_seen_end` metric crosses 10^8 rows — below it (all of M)",
+            "store-backed bloom pass engages only once the seen set",
+            "outgrows executor memory — estimated seen BYTES",
+            "(`n_seen_end` manifest metric × a conservative row width)",
+            "crossing 32 GiB ≈ 3.6×10^8 rows; the probe scans every",
+            "frontier candidate (cost ∝ frontier) while savings are",
+            "∝ seen, so row count alone mis-prices wide frontiers",
+            "(SURVEY.md §6 L stress).  Below the gate (all of M and L)",
             "each round runs the plain exact anti-join plus one O(1)",
             "manifest JSON read, so auto prices as exact at M scale and",
             "as bloom at the 10^10 design point.  Fetched-url counts are "

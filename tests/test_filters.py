@@ -284,6 +284,47 @@ def test_adaptive_seen_filter_engages_on_threshold(spark, tmp_path_factory):
         assert m.get("n_seen_end") == store.read(spark, "seen", sid).count()
 
 
+def test_adaptive_engage_gate_is_bytes_based():
+    """Round-4 L-stress refinement (SURVEY.md §6): the default engage
+    threshold keys on seen-set BYTES vs executor memory (probe cost is
+    O(frontier), savings are O(seen) — rows alone mis-price a
+    10^10-frontier/10^8-seen crawl).  The bytes gate must resolve to
+    ceil(engage_bytes / row_bytes) rows, an explicit engage_rows must
+    override it, and the default must sit well above the measured
+    tax regimes (M: 5×10^5 seen, L: 5×10^5 seen / 10^7 frontier)."""
+    from engine.filters import (
+        ADAPTIVE_BLOOM_ENGAGE_BYTES,
+        SEEN_ROW_BYTES,
+        adaptive_seen_filter_factory,
+    )
+
+    class _Store:
+        def __init__(self, n):
+            self._n = n
+
+        def manifest(self, sid):
+            return {"metrics": {"n_seen_end": self._n}}
+
+    sentinel = object()
+
+    def probe(n, **kw):
+        f = adaptive_seen_filter_factory(
+            inner_factory=lambda spark, store, sid: sentinel, **kw
+        )
+        return f(None, _Store(n), 0)
+
+    default_rows = -(-ADAPTIVE_BLOOM_ENGAGE_BYTES // SEEN_ROW_BYTES)
+    assert probe(default_rows - 1) is None
+    assert probe(default_rows) is sentinel
+    # bytes parameterization: 1 MiB at 64 B/row engages at 16384 rows
+    assert probe(16383, engage_bytes=1 << 20, row_bytes=64) is None
+    assert probe(16384, engage_bytes=1 << 20, row_bytes=64) is sentinel
+    # explicit rows override wins over the bytes gate
+    assert probe(10, engage_rows=10, engage_bytes=1 << 40) is sentinel
+    # the measured sub-crossover regimes stay un-engaged by a wide margin
+    assert default_rows > 10 * 5 * 10**5  # >10x the M/L seen sets
+
+
 @pytest.mark.slow
 def test_bloom_filtered_crawl_survives_kill_resume(spark, tmp_path_factory):
     """Kill between data write and manifest commit WITH the store-backed
