@@ -323,6 +323,12 @@ def run_worker(args) -> dict:
         extra={
             "spark.ui.enabled": "false",
             "spark.driver.memory": "56g",
+            # DISK_ONLY cache blocks land on the tmpfs local dir; this
+            # corpus family's html compresses ~15x, so compressing cached
+            # blocks keeps a multi-10-GB index from exhausting /dev/shm
+            # (two resident workers share it) at one lz4 decode per
+            # access, identical at both levels
+            "spark.rdd.compress": "true",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -352,22 +358,46 @@ def run_worker(args) -> dict:
     # only) is what thrash-eviction of a deserialized in-heap cache looks
     # like once the index outgrows the JVM's guaranteed storage fraction:
     # execution pressure evicts blocks, the next sample's biggest round
-    # pays a re-scan+re-cache, repeat.  Above a threshold where the
-    # in-memory columnar batches cannot honestly stay resident in a 40g
-    # shared-box JVM (~3 GB of parquet ≈ >10 GB of cached batches for this
-    # corpus family), cache DISK_ONLY instead: blocks live POST-repartition
-    # (the fetch join's exchange-free HashPartitioning is preserved) on the
-    # tmpfs local dir — the single-box analog of an executor's local-SSD
-    # cache — paying one lz4 decode per access, identically at both levels,
-    # and leaving the whole unified-memory region to execution.  Below the
-    # threshold the protocol is unchanged (deserialized in-memory, the
-    # r2-r7 configuration).
+    # pays a re-scan+re-cache, repeat.  The decision input is the
+    # DESERIALIZED size — parquet footers' total_uncompressed_size, an
+    # O(files) metadata read — compared against the JVM's guaranteed
+    # storage headroom (heap × memory.fraction 0.6 × storageFraction 0.5):
+    # this corpus family's synthetic html compresses ~15-17× (693 MB
+    # parquet ≈ 12 GB in-heap for the 614k corpus), so parquet bytes
+    # mis-price the cache by an order of magnitude — exactly how the r7
+    # protocol thrashed a 40 g resident heap while the parquet-bytes rule
+    # said it fit.  When the index cannot honestly stay resident, cache
+    # DISK_ONLY instead: blocks live POST-repartition (the fetch join's
+    # exchange-free HashPartitioning is preserved) on the tmpfs local dir
+    # — the single-box analog of an executor's local-SSD cache — paying
+    # one decode per access, identically at both levels, and leaving the
+    # whole unified-memory region to execution.  Below the threshold the
+    # protocol is unchanged (deserialized in-memory, the r2-r7
+    # configuration).
     from pyspark import StorageLevel
 
-    idx_bytes = _du_local_dir(idx_cache)
+    def _uncompressed_bytes(d: str) -> int:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for fn in os.listdir(d):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, fn)).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for c in range(g.num_columns):
+                    total += g.column(c).total_uncompressed_size
+        return total
+
+    heap = int(spark.sparkContext._jvm.Runtime.getRuntime().maxMemory())
+    storage_headroom = int(heap * 0.6 * 0.5)  # Spark unified-memory defaults
+    # in-heap CachedBatch columns carry object headers + offset arrays on
+    # top of the raw encoded bytes — ~1.5x on this string-heavy schema
+    idx_est = int(_uncompressed_bytes(idx_cache) * 1.5)
     lvl = (
         StorageLevel.DISK_ONLY
-        if idx_bytes > (3 << 30)
+        if idx_est > storage_headroom
         else StorageLevel.MEMORY_AND_DISK_DESER
     )
     pidx = (
@@ -378,7 +408,8 @@ def run_worker(args) -> dict:
     print(
         f"[{cpus} cores] pidx cache level "
         f"{'DISK_ONLY' if lvl == StorageLevel.DISK_ONLY else 'MEMORY_AND_DISK_DESER'}"
-        f" (idx parquet {idx_bytes / (1 << 30):.1f} GB)",
+        f" (idx est in-heap {idx_est / (1 << 30):.1f} GB"
+        f" vs storage headroom {storage_headroom / (1 << 30):.1f} GB)",
         file=sys.stderr,
         flush=True,
     )
