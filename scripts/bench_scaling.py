@@ -220,8 +220,10 @@ def _jvm_thread_cpu() -> dict[str, float]:
             break
         p = parents[p]
     if jvm is None:
+        _jvm_thread_cpu.last_sys = {}
         return {}
     out: dict[str, float] = {}
+    sys_out: dict[str, float] = {}
     for tstat in _glob.glob(f"/proc/{jvm}/task/[0-9]*/stat"):
         try:
             with open(tstat) as fh:
@@ -229,11 +231,58 @@ def _jvm_thread_cpu() -> dict[str, float]:
             name = head.split("(", 1)[1]
             f = tail.split()
             cpu = (int(f[11]) + int(f[12])) / tick
+            stime = int(f[12]) / tick
         except (OSError, ValueError, IndexError):
             continue
         key = _re.sub(r"[-#]?\d+$", "", name).strip() or "?"
         out[key] = out.get(key, 0.0) + cpu
+        sys_out[key] = sys_out.get(key, 0.0) + stime
+    # side-channel (same pattern as _tree_cpu_seconds.last_split): the
+    # stime-only view separates kernel-side inflation (tmpfs writes, page
+    # faults, futex churn) from user-side (lock spinning, memory stalls)
+    _jvm_thread_cpu.last_sys = sys_out
     return out
+
+
+def _steal_seconds(cores: set[int] | None = None) -> float:
+    """Cumulative KVM steal seconds summed over `cores` (default: this
+    process's pinned affinity set), from /proc/stat field 8.  Steal is NOT
+    in utime/stime, so a per-round delta directly prices host overcommit
+    inside a measured window — the one substrate effect the sha/parse
+    calibration kernels can only approximate."""
+    if cores is None:
+        cores = os.sched_getaffinity(0)
+    tick = os.sysconf("SC_CLK_TCK")
+    total = 0.0
+    try:
+        with open("/proc/stat") as fh:
+            for line in fh:
+                if not line.startswith("cpu"):
+                    continue
+                f = line.split()
+                if f[0] == "cpu" or not f[0][3:].isdigit():
+                    continue
+                if int(f[0][3:]) in cores:
+                    total += int(f[8]) / tick
+    except (OSError, ValueError, IndexError):
+        return 0.0
+    return total
+
+
+def _fork_count() -> int:
+    """System-wide cumulative fork count (/proc/stat `processes`).  The
+    per-round delta counts subprocess storms — e.g. Hadoop
+    RawLocalFileSystem.setPermission shelling `chmod` per created
+    file/dir when libhadoop native IO is absent (jstack-confirmed: 8/16
+    executor threads inside Shell.runCommand during snapshot writes)."""
+    try:
+        with open("/proc/stat") as fh:
+            for line in fh:
+                if line.startswith("processes "):
+                    return int(line.split()[1])
+    except (OSError, ValueError):
+        pass
+    return 0
 
 
 def _jvm_gc_seconds(spark) -> float:
@@ -316,8 +365,14 @@ def run_worker(args) -> dict:
     # core-sec and +30 python core-sec per small round, i.e. a protocol
     # artifact, not an engine scaling property.
     n_shuffle = args.partitions or cpus * args.shuffle_mult
+    # --master overrides the flat local[N] topology: a 16-core cluster
+    # slice is 4 executors x 4 cores, not one 16-thread JVM, and the two
+    # differ materially (single-JVM memory-manager/allocator contention
+    # grows with thread count while executor JVMs do not share locks).
+    # local-cluster[E,C,memMB] is the standard multi-JVM local proxy.
+    # Ignored when the JVM already exists (spark-submit sets the master).
     spark = get_spark(
-        master=f"local[{cpus}]",
+        master=args.master or f"local[{cpus}]",
         app_name=f"scaling-{cpus}",
         shuffle_partitions=n_shuffle,
         extra={
@@ -400,6 +455,16 @@ def run_worker(args) -> dict:
         if idx_est > storage_headroom
         else StorageLevel.MEMORY_AND_DISK_DESER
     )
+    # --pidx-cache disk|memory overrides the adaptive rule.  Two uses:
+    # (a) level-fairness A/Bs — DISK_ONLY prices one lz4 decode per access
+    # identically at every level and topology, where the in-heap cache's
+    # fit depends on executor sizing; (b) multi-JVM (local-cluster)
+    # topologies, where the heap read above is the DRIVER's and would
+    # mis-size the executors' storage headroom.
+    if args.pidx_cache == "disk":
+        lvl = StorageLevel.DISK_ONLY
+    elif args.pidx_cache == "memory":
+        lvl = StorageLevel.MEMORY_AND_DISK_DESER
     pidx = (
         spark.read.parquet(idx_cache)
         .repartition(n_par, "url_hash")
@@ -496,12 +561,16 @@ def run_worker(args) -> dict:
             cpu0 = _tree_cpu_seconds()
             split0 = dict(_tree_cpu_seconds.last_split)
             gc0 = _jvm_gc_seconds(spark)
+            steal0 = _steal_seconds()
+            forks0 = _fork_count()
             th0 = _jvm_thread_cpu() if args.thread_profile else {}
+            th0_sys = dict(getattr(_jvm_thread_cpu, "last_sys", {}))
             m = run_round(spark, store, r, pidx, robots, cfg, offset, sfilter)
             sec = time.time() - tr
             cpu = _tree_cpu_seconds() - cpu0
             split1 = _tree_cpu_seconds.last_split
             gc1 = _jvm_gc_seconds(spark)
+            steal1 = _steal_seconds()
             offset += m["n_selected"]
             row = {
                 "round": r,
@@ -512,9 +581,12 @@ def run_worker(args) -> dict:
                 "cpu_java": round(split1["java"] - split0["java"], 1),
                 "cpu_python": round(split1["python"] - split0["python"], 1),
                 "gc_sec": round(gc1 - gc0, 2),
+                "steal_sec": round(steal1 - steal0, 2),
+                "forks": _fork_count() - forks0,
             }
             if args.thread_profile:
                 th1 = _jvm_thread_cpu()
+                th1_sys = dict(getattr(_jvm_thread_cpu, "last_sys", {}))
                 delta = {
                     k: round(v - th0.get(k, 0.0), 1)
                     for k, v in th1.items()
@@ -522,6 +594,14 @@ def run_worker(args) -> dict:
                 }
                 row["jvm_threads"] = dict(
                     sorted(delta.items(), key=lambda kv: -kv[1])[:12]
+                )
+                delta_sys = {
+                    k: round(v - th0_sys.get(k, 0.0), 1)
+                    for k, v in th1_sys.items()
+                    if v - th0_sys.get(k, 0.0) >= 1.0
+                }
+                row["jvm_threads_sys"] = dict(
+                    sorted(delta_sys.items(), key=lambda kv: -kv[1])[:8]
                 )
             rounds.append(row)
             print(
@@ -561,6 +641,13 @@ def run_worker(args) -> dict:
         }
 
     if not args.serve:
+        if args.warm_sample:
+            # single-shot A/B hygiene: one full unmeasured sample first, so
+            # the measured one sees the warm regime the resident protocol's
+            # warm pair provides (cache materialized, JIT compiled, page
+            # cache hot) — without it rounds 0-1 measure cache-build stime
+            # (observed: 447 of 487 executor core-sec in kernel mode)
+            one_sample()
         return one_sample()
     # --serve: resident-worker protocol.  The JVM (and its cached pidx +
     # warmed python workers) stays alive across samples; the orchestrator
@@ -1537,6 +1624,11 @@ def main() -> int:
     p.add_argument("--budget", type=int, default=500)
     p.add_argument("--seen-filter", default="exact", choices=["exact", "bloom", "auto"])
     p.add_argument("--thread-profile", action="store_true")
+    p.add_argument("--master", default="")
+    p.add_argument("--warm-sample", action="store_true")
+    p.add_argument(
+        "--pidx-cache", default="auto", choices=["auto", "disk", "memory"]
+    )
     # partitions per core for the round pipeline's explicit repartitions.
     # 3x (the cluster-standard 2-4x rule): with exactly 1 task per core a
     # single straggling UDF task idles the other N-1 cores for its whole
