@@ -715,6 +715,49 @@ def orchestrate(args) -> int:
             cwd=REPO,
             check=True,
         )
+    # Substrate repairs for the single-box proxy (each diagnosed from
+    # per-thread stime + jstack + fork counters, see BENCH/BASELINE.md):
+    #   fsshim  — Hadoop RawLocalFileSystem forks a `chmod` per created
+    #             file/dir without libhadoop; at 16 threads the fork storm
+    #             serializes kernel-side.  The nio shim removes every
+    #             such fork (cluster filesystems set permissions via RPC).
+    #   pretouch — G1 lazily commits heap; expansion during a measured
+    #             round zero-fills pages in GC threads (188 core-sec of
+    #             stime observed).  -Xms=-Xmx + AlwaysPreTouch moves that
+    #             to JVM start, inside the unmeasured warm-up.
+    #   locality.wait=0 — CPU-bound rounds should never park a free slot
+    #             3 s hoping for cache locality (standard cluster setting
+    #             for compute-bound jobs).
+    # Heap is 32g/level (not 56g): with the size-adaptive pidx cache the
+    # heap no longer holds the corpus index, and two resident pretouched
+    # JVMs must fit beside the tmpfs disk-cache blocks.
+    fsshim_jar = "/tmp/spark_graft_bench/fsshim.jar"
+    if use_submit and not os.path.exists(fsshim_jar):
+        try:
+            subprocess.run(
+                [os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "build_fsshim.sh"), fsshim_jar],
+                check=True,
+            )
+        except (subprocess.CalledProcessError, OSError):
+            fsshim_jar = None  # javac unavailable: run without the shim
+    heap = "32g"
+    submit_perf_args = [
+        "--driver-memory", heap,
+        "--driver-java-options", f"-Xms{heap} -XX:+AlwaysPreTouch",
+        "--conf", "spark.locality.wait=0",
+    ] + (
+        [
+            "--jars", fsshim_jar,
+            "--conf", f"spark.driver.extraClassPath={fsshim_jar}",
+            "--conf", f"spark.executor.extraClassPath={fsshim_jar}",
+            "--conf",
+            "spark.hadoop.fs.file.impl=sparkgraft.NioRawLocalFileSystem",
+            "--conf", "spark.hadoop.fs.file.impl.disable.cache=true",
+        ]
+        if fsshim_jar
+        else []
+    )
     def run_level(cpus: int) -> dict | None:
         worker_args = [
             os.path.abspath(__file__), "--worker",
@@ -725,11 +768,11 @@ def orchestrate(args) -> int:
             "--partitions", str(args.partitions),
         ] + (["--thread-profile"] if args.thread_profile else [])
         if use_submit:
-            # --driver-memory MUST be on the submit line: by the time the
+            # memory/JVM flags MUST be on the submit line: by the time the
             # builder runs, the driver JVM already exists (1g default → OOM)
             cmd = [
                 "spark-submit", "--master", f"local[{cpus}]",
-                "--driver-memory", "56g",
+                *submit_perf_args,
                 "--py-files", zip_path, *worker_args,
             ]
         else:
@@ -834,10 +877,11 @@ def orchestrate(args) -> int:
                     "--partitions", str(args.partitions),
                 ] + (["--thread-profile"] if args.thread_profile else [])
                 if use_submit:
-                    # two resident JVMs share the box: 40g each, not 56g
+                    # two resident pretouched JVMs share the box (32g
+                    # each via submit_perf_args, beside the tmpfs cache)
                     cmd = [
                         "spark-submit", "--master", f"local[{cpus}]",
-                        "--driver-memory", "40g",
+                        *submit_perf_args,
                         "--py-files", zip_path, *worker_args,
                     ]
                 else:
