@@ -45,7 +45,7 @@ from engine.frontier import (
 from engine.politeness import select_top_b
 from engine.robots import robots_gate
 from engine.snapstore import SnapStore
-from engine.udfs import extract_both_udf, hash64_udf
+from engine.udfs import compress_html_udf, extract_both_z_udf, hash64_udf
 
 
 @dataclass(frozen=True)
@@ -110,6 +110,16 @@ def pages_index(pages: DataFrame) -> DataFrame:
     url, the row with the greatest warc_ts.  One shuffle on url_hash; on a
     cluster this index is computed once and stored bucketed by url_hash.
 
+    The body column is stored COMPRESSED (html_z = zlib-1, the WARC-gzip
+    convention real crawl stores use): the index-build shuffle, the cache,
+    every round's fetch join, and the Arrow hop to the extractor all move
+    ~10x fewer bytes, and only the extractor inflates the selected pages
+    (engine/udfs.extract_both_z_udf).  Profiling the uncompressed design
+    showed the wide-parallelism ceiling was exactly this: each round
+    materialized EVERY cached html value through the join's cache scan
+    (UnsafeRow.getBinary/copyMemory dominated JFR samples) to fetch <=16%
+    of them, saturating the memory subsystem at high core counts.
+
     The trailing explicit repartition pins HashPartitioning(url_hash, P)
     on the output (AQE would otherwise coalesce it away at persist time):
     when the caller persists this index, every round's fetch join sees a
@@ -120,7 +130,11 @@ def pages_index(pages: DataFrame) -> DataFrame:
     Iceberg (storage-partitioned join)."""
     spark = pages.sparkSession
     n_par = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    h = pages.withColumn("url_hash", hash64_udf("url"))
+    h = (
+        pages.withColumn("url_hash", hash64_udf("url"))
+        .withColumn("html_z", compress_html_udf("html"))
+        .drop("html")
+    )
     w = Window.partitionBy("url_hash").orderBy(
         F.col("warc_ts").desc(), F.col("url").asc()
     )
@@ -218,24 +232,24 @@ def run_round(
     # UDF stages are CPU-sized, not byte-sized.
     n_par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     fetched = selected.repartition(n_par, "url_hash").join(
-        pages_idx.select("url_hash", "html"), "url_hash", "left"
+        pages_idx.select("url_hash", "html_z"), "url_hash", "left"
     )
 
     # 5. Arrow-UDF extraction (ops F3/F4 fused — engine/pure.py
-    # extract_text_and_links): html crosses to Python once and is PARSED
-    # once per page, then dropped immediately
+    # extract_text_and_links): the COMPRESSED body crosses to Python once,
+    # is inflated and PARSED once per page, then dropped immediately
     ext = (
-        fetched.withColumn("_eb", extract_both_udf("html", "url"))
+        fetched.withColumn("_eb", extract_both_z_udf("html_z", "url"))
         .withColumn(
             "status",
-            F.when(F.col("html").isNotNull(), F.lit("200")).otherwise(
+            F.when(F.col("html_z").isNotNull(), F.lit("200")).otherwise(
                 F.lit("404")
             ),
         )
         .withColumn("partition_id", F.spark_partition_id())
         .withColumn("text", F.col("_eb.text"))
         .withColumn("links", F.col("_eb.links"))
-        .drop("html", "_eb")
+        .drop("html_z", "_eb")
     )
     ext = ext.persist()
 

@@ -446,6 +446,38 @@ class _CombinedExtractor(HTMLParser):
         return "\n".join(self._blocks)
 
 
+def compress_html(html: bytes | str | None) -> bytes | None:
+    """zlib(level=1) the page body for the compressed pages index.
+
+    Real crawl stores keep page bodies compressed at rest and in flight
+    (Common Crawl's WARC files are gzip members); the engine does the
+    same: the fetch join, shuffle, cache, and Arrow transfer all carry
+    html_z (~10x smaller on web text), and only the extractor — the one
+    consumer of the bytes — inflates it.  JFR profiling showed the
+    uncompressed alternative spends the wide level's CPU materializing
+    every cached html value through UnsafeRow.getBinary/copyMemory each
+    round (BENCH/BASELINE.md round-4 notes).  Level 1 favors decompression
+    speed; compression runs once, at index build."""
+    import zlib
+
+    if html is None:
+        return None
+    if isinstance(html, str):
+        html = html.encode("utf-8")
+    return zlib.compress(bytes(html), 1)
+
+
+def decompress_html(blob: bytes | None) -> str | None:
+    """Inverse of compress_html: exact round-trip (zlib is lossless), so
+    extraction over html_z is byte-identical to extraction over html —
+    asserted in tests/test_pure_fast.py::test_html_z_roundtrip."""
+    import zlib
+
+    if blob is None:
+        return None
+    return zlib.decompress(bytes(blob)).decode("utf-8", "replace")
+
+
 def extract_text_and_links(
     html: bytes | str | None, base_url: str | None
 ) -> tuple[str | None, list[str] | None]:

@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     LongType,
     StringType,
     StructField,
@@ -23,6 +24,8 @@ from pyspark.sql.types import (
 
 from engine.pure import (
     canon,
+    compress_html,
+    decompress_html,
     extract_links,
     extract_text_and_links,
     hash64,
@@ -88,6 +91,33 @@ def extract_both_udf(html: pd.Series, base_url: pd.Series) -> pd.DataFrame:
     links: list[list[str] | None] = []
     for b, u in zip(html, base_url):
         t, ls = extract_text_and_links(b, u) if b is not None else (None, None)
+        texts.append(t)
+        links.append(ls)
+    return pd.DataFrame({"text": texts, "links": pd.Series(links, dtype=object)})
+
+
+@F.pandas_udf(BinaryType())
+def compress_html_udf(html: pd.Series) -> pd.Series:
+    """One-time, at pages-index build: html -> zlib(level=1) bytes.  From
+    here on the engine moves ~10x fewer bytes per fetched page (see
+    engine/pure.compress_html)."""
+    return html.map(compress_html)
+
+
+@F.pandas_udf(EXTRACT_BOTH_TYPE)
+def extract_both_z_udf(html_z: pd.Series, base_url: pd.Series) -> pd.DataFrame:
+    """extract_both over the COMPRESSED pages index: inflate each selected
+    page inside the same Arrow batch, parse once, drop the bytes.  Exact
+    equivalence with extract_both_udf(html) holds because zlib round-trips
+    losslessly (tests/test_pure_fast.py::test_html_z_roundtrip)."""
+    texts: list[str | None] = []
+    links: list[list[str] | None] = []
+    for zb, u in zip(html_z, base_url):
+        if zb is None:
+            texts.append(None)
+            links.append(None)
+            continue
+        t, ls = extract_text_and_links(decompress_html(zb), u)
         texts.append(t)
         links.append(ls)
     return pd.DataFrame({"text": texts, "links": pd.Series(links, dtype=object)})

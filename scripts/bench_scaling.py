@@ -85,6 +85,24 @@ def _spin_parse(dur: float) -> int:
     return c
 
 
+def _spin_stream(dur: float) -> int:
+    """STREAM-style DRAM-bandwidth kernel: copy a buffer much larger than
+    L3's per-core share, counting bytes moved.  The engine's dominant
+    JVM-side work is decoding multi-GB cached columnar batches (lz4 +
+    copyMemory) — bandwidth-bound, which neither sha (in-register) nor
+    parse (small working set) calibrates.  Returns bytes copied."""
+    import time as _t
+
+    buf = bytearray(64 << 20)  # 64 MB source, streams past L2/L3 share
+    view = memoryview(buf)
+    t0 = _t.time()
+    moved = 0
+    while _t.time() - t0 < dur:
+        dst = bytes(view)  # full copy: read 64MB + write 64MB
+        moved += len(dst) * 2
+    return moved
+
+
 def _pin_to(cores) -> None:
     """Affinity-pin the calling process (pool worker) to the given core
     set — the same pinning the engine levels get via taskset."""
@@ -112,7 +130,11 @@ def substrate_eff(
         hi: list(hi_cores) if hi_cores is not None else list(range(hi)),
     }
     out = {}
-    for name, fn in (("sha", _spin_sha), ("parse", _spin_parse)):
+    for name, fn in (
+        ("sha", _spin_sha),
+        ("parse", _spin_parse),
+        ("stream", _spin_stream),
+    ):
         rates = {}
         for procs in (lo, hi):
             cores = core_sets[procs]
@@ -269,6 +291,32 @@ def _steal_seconds(cores: set[int] | None = None) -> float:
     return total
 
 
+def _tlb_shootdowns(cores: set[int] | None = None) -> int:
+    """Cumulative TLB-shootdown interrupts summed over `cores` (default:
+    this process's affinity), from /proc/interrupts.  Every munmap of a
+    mapped buffer (direct ByteBuffers, Arrow allocations) IPIs every
+    OTHER core currently running the process — a cost that scales with
+    core count and shows up as uniform user-CPU inflation."""
+    if cores is None:
+        cores = os.sched_getaffinity(0)
+    try:
+        with open("/proc/interrupts") as fh:
+            header = fh.readline().split()
+            idx = [i for i, c in enumerate(header)]
+            ncpu = len(header)
+            for line in fh:
+                if line.startswith("TLB:"):
+                    vals = line.split()[1 : 1 + ncpu]
+                    return sum(
+                        int(v)
+                        for i, v in enumerate(vals)
+                        if i in cores
+                    )
+    except (OSError, ValueError):
+        pass
+    return 0
+
+
 def _fork_count() -> int:
     """System-wide cumulative fork count (/proc/stat `processes`).  The
     per-round delta counts subprocess storms — e.g. Hadoop
@@ -399,7 +447,7 @@ def run_worker(args) -> dict:
     # reload still pays the repartition to HashPartitioning(url_hash, P) —
     # that pinned distribution is what the measured fetch joins rely on.
     t0 = time.time()
-    idx_cache = args.corpus.rstrip("/") + "_pidx"
+    idx_cache = args.corpus.rstrip("/") + "_pidxz"
     idx_marker = os.path.join(idx_cache, "_DONE")
     if not os.path.exists(idx_marker):
         pages_index(pages.select("url", "warc_ts", "html")).write.mode(
@@ -563,6 +611,7 @@ def run_worker(args) -> dict:
             gc0 = _jvm_gc_seconds(spark)
             steal0 = _steal_seconds()
             forks0 = _fork_count()
+            tlb0 = _tlb_shootdowns()
             th0 = _jvm_thread_cpu() if args.thread_profile else {}
             th0_sys = dict(getattr(_jvm_thread_cpu, "last_sys", {}))
             m = run_round(spark, store, r, pidx, robots, cfg, offset, sfilter)
@@ -583,6 +632,7 @@ def run_worker(args) -> dict:
                 "gc_sec": round(gc1 - gc0, 2),
                 "steal_sec": round(steal1 - steal0, 2),
                 "forks": _fork_count() - forks0,
+                "tlb_shootdowns": _tlb_shootdowns() - tlb0,
             }
             if args.thread_profile:
                 th1 = _jvm_thread_cpu()

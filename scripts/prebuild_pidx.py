@@ -3,7 +3,7 @@ unmeasured warm-up state) with an UNPINNED wide session, so the pinned
 scaling workers — especially the narrow level, which otherwise builds it
 solo at N cores — only pay the cheap parquet reload.  Identical output
 contract to the inline build in scripts/bench_scaling.py run_worker:
-parquet files + _DONE marker at <corpus>_pidx.
+parquet files + _DONE marker at <corpus>_pidxz.
 
 Usage: python scripts/prebuild_pidx.py <corpus_dir> [cpus]
 """
@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     corpus = sys.argv[1]
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 24
-    idx_cache = corpus.rstrip("/") + "_pidx"
+    idx_cache = corpus.rstrip("/") + "_pidxz"
     marker = os.path.join(idx_cache, "_DONE")
     if os.path.exists(marker):
         print(f"pidx already built: {idx_cache}")

@@ -44,7 +44,7 @@ def test_fetch_join_reuses_cached_pages_index_partitioning(spark, corpus_dir):
         n_par = int(spark.conf.get("spark.sql.shuffle.partitions"))
         selected = pidx.select("url_hash").limit(10)
         joined = selected.repartition(n_par, "url_hash").join(
-            pidx.select("url_hash", "html"), "url_hash", "left"
+            pidx.select("url_hash", "html_z"), "url_hash", "left"
         )
         plan = _plan(joined)
         assert "InMemoryTableScan" in plan

@@ -239,3 +239,41 @@ def test_fast_scan_equals_reference_whenever_engaged(html):
 def test_random_bytes_public_matches(b):
     html = b.decode("utf-8", "replace")
     _assert_public_equals_reference(html)
+
+
+# --- compressed pages index (html_z) round-trip -------------------------
+
+
+def test_html_z_roundtrip():
+    """decompress_html(compress_html(x)) == x exactly, so extraction over
+    the compressed index is byte-identical to extraction over raw html
+    (engine/crawl.pages_index stores html_z; extract_both_z_udf inflates)."""
+    from engine.pure import compress_html, decompress_html
+    from fixtures.gen import gen_corpus
+
+    pages = gen_corpus(n_hosts=6, mean_pages=5, body_words=200).pages
+    assert pages, "fixture corpus must be non-empty"
+    for p in pages:
+        html = p["html"]  # fixture pages carry bytes
+        z = compress_html(html)
+        assert isinstance(z, bytes) and len(z) < len(html)
+        # the invariant the crawl relies on: the EXTRACTOR sees the same
+        # string either way (bytes inputs were always utf-8(replace)
+        # decoded before parsing — html_to_text does the same decode)
+        want = html.decode("utf-8", "replace") if isinstance(html, bytes) else html
+        assert decompress_html(z) == want
+        assert extract_text_and_links(decompress_html(z), BASE) == (
+            extract_text_and_links(html, BASE)
+        )
+    # null and bytes-input behavior
+    assert compress_html(None) is None
+    assert decompress_html(None) is None
+    assert decompress_html(compress_html(b"<p>x</p>")) == "<p>x</p>"
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=4000))
+def test_html_z_roundtrip_hypothesis(s):
+    from engine.pure import compress_html, decompress_html
+
+    assert decompress_html(compress_html(s)) == s
