@@ -530,12 +530,11 @@ def run_worker(args) -> dict:
     # touch every Arrow UDF once so python-worker spawn + module import +
     # JIT happen before the measured rounds (a real long-running crawl
     # amortizes this; a 3-round measurement window must not eat it)
-    from engine.udfs import extract_links_udf, extract_text_udf
+    from engine.udfs import extract_both_z_udf
 
     pidx.limit(2000).select(
         hash64_udf("url"),
-        extract_text_udf("html"),
-        extract_links_udf("html", "url"),
+        extract_both_z_udf("html_z", "url"),
     ).write.format("noop").mode("overwrite").save()
 
     # bootstrap inputs: whole-corpus frontier in canon-hostile raw form (the
