@@ -1509,9 +1509,14 @@ def _write_md(rep: dict, path: str) -> None:
         ("r3 fast-extractor @307k corpus, 48 partitions", "scaling_r3_p48.json"),
         ("r3 614k corpus, 96 partitions, run 1", "scaling_r3_fastex_s1.json"),
     ]
-    for fp in sorted(
-        _glob.glob(os.path.join(bench_dir, "scaling_4to16_r*.json"))
-    ) + sorted(_glob.glob(os.path.join(bench_dir, "scaling_4to16_p*.json"))):
+    for fp in (
+        sorted(_glob.glob(os.path.join(bench_dir, "scaling_4to16_r*.json")))
+        + sorted(_glob.glob(os.path.join(bench_dir, "scaling_4to16_p*.json")))
+        + sorted(
+            _glob.glob(os.path.join(bench_dir, "scaling_4to16_biground*.json"))
+        )
+        + sorted(_glob.glob(os.path.join(bench_dir, "scaling_4to16_fix*.json")))
+    ):
         fn = os.path.basename(fp)
         tag = "4→16 " + fn[len("scaling_4to16_") : -len(".json")]
         named.append((tag, fn))
@@ -1661,6 +1666,70 @@ def _write_md(rep: dict, path: str) -> None:
                 "stage-commit fixed costs bound efficiency at ~0.65",
                 "regardless of plan shape; real crawl rounds at cluster",
                 "scale are minutes-to-hours.",
+            ]
+        fix_files = sorted(
+            _glob.glob(os.path.join(bench_dir, "scaling_4to16_fix*.json"))
+        )
+        if fix_files:
+            fx = []
+            for fp in fix_files:
+                with open(fp) as fh:
+                    fx.append((os.path.basename(fp), json.load(fh)))
+            lines += [
+                "",
+                "Round 4 then root-caused the residual java-CPU inflation",
+                "with per-thread utime/stime split, steal/fork/TLB counters,",
+                "and JFR execution sampling (the `fix*` artifacts):",
+                "",
+                "1. **Fork storms** — without libhadoop, Hadoop's",
+                "   RawLocalFileSystem forks a `chmod` per created file/dir;",
+                "   a 48-partition snapshot write is ~300 forks/round and",
+                "   jstack caught 8/16 executor threads inside",
+                "   Shell.runCommand.  Fixed with a java.nio setPermission",
+                "   shim (engine/javashim, fs.file.impl +",
+                "   fs.file.impl.disable.cache — the FileSystem cache pins",
+                "   whichever impl resolves first).  Cluster filesystems set",
+                "   permissions via RPC, so the shim only de-noises the",
+                "   local proxy.",
+                "2. **Heap-zeroing storms** — G1 lazily commits heap, so",
+                "   expansion during a measured round zero-fills pages in GC",
+                "   threads (188 core-sec of kernel time in one sampled",
+                "   round at 16 workers).  -Xms=-Xmx + AlwaysPreTouch moves",
+                "   that to JVM start, inside the unmeasured warm-up.",
+                "3. **locality.wait=0** — CPU-bound rounds should never park",
+                "   a free slot 3 s hoping for cache locality.",
+                "4. **The fetch join materialized every cached html value",
+                "   every round** (JFR: UnsafeRow.getBinary/copyMemory/",
+                "   UTF8String dominated at both levels, uniformly — a",
+                "   memory-subsystem cost, not a lock) to fetch ≤16% of",
+                "   them.  The engine now stores the pages index COMPRESSED",
+                "   (html_z, zlib-1 — the WARC-gzip convention): build",
+                "   shuffle, cache, fetch join, and the Arrow hop all move",
+                "   ~10× fewer bytes; only the extractor inflates the",
+                "   selected pages (engine/crawl.pages_index,",
+                "   engine/udfs.extract_both_z_udf; crawl output verified",
+                "   byte-identical vs refspec).",
+                "",
+                "A topology A/B (local-cluster[4,4] multi-executor-JVM vs",
+                "flat local[16]) confirmed the inflation was these substrate",
+                "effects, not single-JVM lock contention: with the repairs,",
+                "flat is FASTER (28.6 vs 37.7 s at the 307k corpus), so the",
+                "flat local[N] protocol stands.  A STREAM copy kernel was",
+                "added to the substrate calibration — this box's own",
+                "DRAM-copy scaling for the 4→16 core sets is 0.82-0.85,",
+                "bounding any memory-bound phase.  Fixed-protocol samples",
+                "(fix1 = repairs only, budget 800; fix2 = + compressed",
+                "index, budget 800; fix3 = + budget 1600, the",
+                "cluster-realistic round size — driver-serial ~2 s/round is",
+                "15% of a 13 s round and 7% of a 26 s one):",
+                "",
+            ] + [
+                f"- `{fn}`: totals {d.get('value')}, median-round"
+                f" {d.get('median_round_eff')}, engine-vs-substrate"
+                f" {d.get('engine_vs_substrate')} (pairwise totals"
+                f" {d.get('pairwise_eff')}, level-16"
+                f" {d.get('throughput_urls_per_sec', {}).get('16')} urls/s)"
+                for fn, d in fx
             ]
     lines += [
         "",
