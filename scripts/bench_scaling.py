@@ -1505,6 +1505,7 @@ def _write_md(rep: dict, path: str) -> None:
         ("s3", "scaling_s3.json"),
         ("s4", "scaling_s4.json"),
         ("r2 headline (pre-fast-extractor)", "scaling_r2_headline.json"),
+        ("r3 headline (pre-compressed-index)", "scaling_r3_headline.json"),
         ("r3 fast-extractor @307k corpus, std partitions", "scaling_r3_stdparts.json"),
         ("r3 fast-extractor @307k corpus, 48 partitions", "scaling_r3_p48.json"),
         ("r3 614k corpus, 96 partitions, run 1", "scaling_r3_fastex_s1.json"),
