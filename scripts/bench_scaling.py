@@ -1509,6 +1509,11 @@ def _write_md(rep: dict, path: str) -> None:
         ("r3 fast-extractor @307k corpus, std partitions", "scaling_r3_stdparts.json"),
         ("r3 fast-extractor @307k corpus, 48 partitions", "scaling_r3_p48.json"),
         ("r3 614k corpus, 96 partitions, run 1", "scaling_r3_fastex_s1.json"),
+        (
+            "r4 2→8 attempt 1 (compressed index, 614k corpus — "
+            "short-round regime, level-2 on IRQ cores 0-1)",
+            "scaling_r4h.json",
+        ),
     ]
     for fp in (
         sorted(_glob.glob(os.path.join(bench_dir, "scaling_4to16_r*.json")))
