@@ -40,6 +40,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import shutil
 import subprocess
 import sys
@@ -368,8 +369,50 @@ def ensure_corpus(path: str, n_hosts: int, mean_pages: int, body_words: int) -> 
     )
     write_parquet(corpus, path)
     with open(marker, "w") as f:
-        f.write("ok")
+        # corpus parameters travel WITH the corpus so a run pointed at a
+        # pre-existing --corpus dir records the actual generation params,
+        # not this invocation's --hosts/--mean-pages defaults
+        json.dump(
+            {
+                "hosts": n_hosts,
+                "mean_pages": mean_pages,
+                "body_words": body_words,
+            },
+            f,
+        )
     print(f"corpus ready in {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
+
+
+def _corpus_params(args) -> dict:
+    """Actual generation parameters of the corpus a run used.
+
+    Prefers the _DONE marker metadata (written at generation), then the
+    canonical ``scale_{hosts}x{mean}_w{words}`` dirname, then the CLI args
+    — so pointing --corpus at a pre-existing dir records that corpus's
+    params, not this invocation's defaults."""
+    marker = os.path.join(args.corpus, "_DONE")
+    try:
+        with open(marker) as f:
+            d = json.load(f)
+        return {
+            "hosts": d["hosts"],
+            "mean_pages": d["mean_pages"],
+            "body_words": d["body_words"],
+        }
+    except (OSError, ValueError, KeyError):
+        pass
+    m = re.search(r"scale_(\d+)x(\d+)_w(\d+)", os.path.basename(args.corpus))
+    if m:
+        return {
+            "hosts": int(m.group(1)),
+            "mean_pages": int(m.group(2)),
+            "body_words": int(m.group(3)),
+        }
+    return {
+        "hosts": args.hosts,
+        "mean_pages": args.mean_pages,
+        "body_words": args.body_words,
+    }
 
 
 def _du_local_dir(root: str = "/dev/shm/spark-local") -> int:
@@ -1132,9 +1175,7 @@ def orchestrate(args) -> int:
         "levels": results,
         "corpus": {
             "path": args.corpus,
-            "hosts": args.hosts,
-            "mean_pages": args.mean_pages,
-            "body_words": args.body_words,
+            **_corpus_params(args),
             "n_pages": results[lo]["n_pages"],
         },
         "budget_per_host": args.budget,
