@@ -14,10 +14,10 @@ Scale notes (the 10^10 story, SURVEY.md §4):
 - The pages index join keys on url_hash; at cluster scale pages is bucketed
   the same way.  Only (url_hash, html) for the ≤ Σ B(host) SELECTED rows
   per round crosses the wire — html is pruned everywhere else.
-- fetch_seq is a dense global rank over the per-round SELECTED set
-  (bounded by Σ B(host), i.e. politeness-budget-sized, NOT frontier-sized),
-  computed by range-partition + per-partition rank + a P-row base-offset
-  collect — no single-partition window; the frontier itself never passes
+- fetch_seq uses a single-partition window over the per-round SELECTED set
+  (bounded by Σ B(host), i.e. politeness-budget-sized, NOT frontier-sized)
+  — per-round selected sets are orders of magnitude smaller than the
+  frontier, so this is safe at scale; the frontier itself never passes
   through a global window.
 - The optional bloom pre-filter (engine/filters.py) prunes the anti-join
   probe side; the exact anti-join stays authoritative (filters prune,
@@ -68,16 +68,6 @@ def _global_seq_by_url(
     fetch_seq = offset + base[pid] + local_rank - 1 == offset + global rank
     by url, independent of where the range sampler places the boundaries.
 
-    The counts collect doubles as the round's ONE deliberate
-    materialization action: it fills the tagged/ext/rp caches so the four
-    parallel snapshot writes that follow read caches instead of each
-    re-executing the upstream shuffle chain.  (A fully-declarative variant
-    — in-DAG P-row prefix sum, no collect — was measured 3-4x WORSE at 16
-    cores: concurrent first-touch write jobs do dedup cache blocks, but
-    each job still runs its own copy of every upstream shuffle stage,
-    tripling executor work.  One cheap designated materialization is the
-    right shape.)
-
     ``slim`` should be a narrow (url, url_hash) projection: only those two
     columns cross the range exchange; the caller joins fetch_seq back on
     url_hash (1:1 — frontier rows are unique per url_hash), so wide columns
@@ -113,45 +103,6 @@ def _global_seq_by_url(
         .alias("fetch_seq"),
     )
     return seq, rp
-
-
-def _lattice_zip(surv: DataFrame, kids: DataFrame) -> DataFrame:
-    """Field-wise lattice merge of two frames that are each UNIQUE per
-    url_hash, via a full-outer join — the same commutative/associative
-    merge as engine/frontier.merge_frontier (min url/host/depth/
-    discovered_round/src_url, max priority; least/greatest skip the nulls
-    a one-sided row contributes), but keyed as a join so two already-
-    hash-partitioned inputs zip together without re-shuffling either side.
-    merge_frontier remains the general-input (non-unique) path.
-    """
-    s = surv.select(
-        "url_hash", *[F.col(c).alias(f"s_{c}") for c in _LATTICE_COLS]
-    )
-    k = kids.select(
-        "url_hash", *[F.col(c).alias(f"k_{c}") for c in _LATTICE_COLS]
-    )
-    j = s.join(k, "url_hash", "full_outer")
-    return j.select(
-        "url_hash",
-        F.least("s_url", "k_url").alias("url"),
-        F.least("s_host", "k_host").alias("host"),
-        F.greatest("s_priority", "k_priority").alias("priority"),
-        F.least("s_depth", "k_depth").alias("depth"),
-        F.least("s_discovered_round", "k_discovered_round").alias(
-            "discovered_round"
-        ),
-        F.least("s_src_url", "k_src_url").alias("src_url"),
-    )
-
-
-_LATTICE_COLS = (
-    "url",
-    "host",
-    "priority",
-    "depth",
-    "discovered_round",
-    "src_url",
-)
 
 
 def pages_index(pages: DataFrame) -> DataFrame:
@@ -226,7 +177,6 @@ def run_round(
     cfg: EngineConfig,
     fetch_seq_offset: int,
     seen_filter=None,
-    carry: dict | None = None,
 ) -> dict:
     """Execute round ``rnd`` from snapshot ``rnd`` to snapshot ``rnd+1``.
 
@@ -241,28 +191,9 @@ def run_round(
     PARALLEL with all round metrics observed on the writes themselves —
     no separate aggregation, no per-round lineage count, no frontier
     empty-check job (both ride the manifest).
-
-    ``carry`` (optional) is a scratch dict a multi-round caller threads
-    through consecutive rounds.  When present, the round reads frontier and
-    seen from ``carry["frontier"]`` / ``carry["seen"]`` — each a PERSISTED,
-    hash-partitioned(url_hash, P) cache over the snapshot parquet committed
-    by the previous round — and re-seeds both from the new snapshot after
-    the commit.  Effect per round: ONE parquet decode + ONE exchange per
-    state table (lazily, inside the round's materialization job) instead of
-    one per consumer (frontier and seen each have two consumers), and every
-    url_hash-keyed consumer downstream of the cache is exchange-free.  The
-    cached plan is rooted at the snapshot files, so plan depth stays O(1)
-    across rounds, and resume semantics are untouched (an empty carry
-    falls back to the store).  This is the local analog of the frontier/
-    seen stored bucketed by url_hash in Iceberg, where the bucketed scan
-    would skip even the first exchange (SURVEY.md §4).
     """
-    frontier = (carry or {}).get("frontier")
-    if frontier is None:
-        frontier = store.read(spark, "frontier", rnd)
-    seen = (carry or {}).get("seen")
-    if seen is None:
-        seen = store.read(spark, "seen", rnd)
+    frontier = store.read(spark, "frontier", rnd)
+    seen = store.read(spark, "seen", rnd)
 
     # 1. candidates := frontier ANTI seen (op C1).  With a bloom filter the
     # probe side splits: `_maybe_seen` rows take the exact anti-join,
@@ -418,35 +349,12 @@ def run_round(
         F.lit(rnd + 1).alias("discovered_round"),
         "src_url",
     )
-    # kids ANTI seen_next, decomposed: anti vs the (carried, cached,
-    # hash-partitioned) cumulative seen — a zipper once kids are pinned to
-    # the same partitioning — then anti vs this round's delta, whose
-    # exchange is ROUND-sized.  Equivalent to one anti-join against
-    # seen ∪ delta, but the union would throw away both sides'
-    # partitioning and re-shuffle O(seen) rows every round.  The explicit
-    # repartition pins hash(url_hash, P) (user repartitions are exempt
-    # from AQE coalescing), so the downstream lattice merge and zipper
-    # join both run exchange-free on the SAME partitioning.
-    kids = kids.repartition(n_par, "url_hash")
-    kids = kids.join(seen.select("url_hash"), "url_hash", "left_anti")
-    kids = kids.join(
-        seen_delta.select("url_hash"), "url_hash", "left_anti"
-    )
+    kids = kids.join(seen_next.select("url_hash"), "url_hash", "left_anti")
 
     survivors = frontier.join(
         removed.select("url_hash"), "url_hash", "left_anti"
     )
-    # Frontier advance = a ZIPPER merge, not union+groupBy: merge_frontier
-    # over the union re-shuffles the ENTIRE frontier every round, an
-    # O(frontier) exchange that dwarfs the round itself at web scale
-    # (frontier >> Σ B(host)).  Instead, lattice-merge only the kids (the
-    # irreducible discovered-links shuffle), then full-outer join them with
-    # the survivors on url_hash: both sides are unique per url_hash
-    # (survivors by the frontier invariant — every committed frontier is
-    # lattice-merged — kids by their own merge) and hash-partitioned on it
-    # (survivors inherit the carried cache's partitioning), so the join is
-    # an exchange-free zipper and the survivors' bytes never move again.
-    frontier_next = _lattice_zip(survivors, merge_frontier(kids))
+    frontier_next = merge_frontier(survivors.unionByName(kids))
     # the next round's empty-check rides this write as an observed metric
     fobs = Observation()
     frontier_next = frontier_next.observe(
@@ -503,19 +411,6 @@ def run_round(
     ext.unpersist()
     tagged.unpersist()
     rp_slim.unpersist()
-    if carry is not None:
-        # re-seed the carried state caches from the snapshot just
-        # committed: lazily persisted, so the NEXT round's materialization
-        # job pays the single decode+exchange that fills them
-        for key in ("frontier", "seen"):
-            old = carry.get(key)
-            if old is not None:
-                old.unpersist()
-            carry[key] = (
-                store.read(spark, key, rnd + 1)
-                .repartition(n_par, "url_hash")
-                .persist()
-            )
     return metrics
 
 
@@ -566,7 +461,6 @@ def run_crawl(
     # once, keep it cached across rounds (cluster analog: stored bucketed)
     pages_idx = pages_index(pages).persist()
     rounds_done = 0
-    carry: dict = {}
     while True:
         sid = store.latest()
         rnd = sid  # next round number == current snapshot id
@@ -594,12 +488,8 @@ def run_crawl(
             cfg,
             _fetch_seq_offset(spark, store, sid),
             seen_filter,
-            carry=carry,
         )
         rounds_done += 1
-    for df in carry.values():  # release the carried state caches
-        df.unpersist()
-    carry.clear()
     pages_idx.unpersist()
     return rounds_done
 

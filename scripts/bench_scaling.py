@@ -643,11 +643,6 @@ def run_worker(args) -> dict:
             {"n_seen_end": int(n_seen0)},
         )
         boot_sec = time.time() - tb
-        # per-sample carry: each round hands its persisted, hash-partitioned
-        # frontier_next to the next round (engine/crawl.run_round carry
-        # contract) — the measured rounds never re-read/re-shuffle the
-        # frontier parquet, matching run_crawl's own loop
-        carry: dict = {}
         rounds = []
         offset = 0
         for r in range(args.rounds):
@@ -661,10 +656,7 @@ def run_worker(args) -> dict:
             tlb0 = _tlb_shootdowns()
             th0 = _jvm_thread_cpu() if args.thread_profile else {}
             th0_sys = dict(getattr(_jvm_thread_cpu, "last_sys", {}))
-            m = run_round(
-                spark, store, r, pidx, robots, cfg, offset, sfilter,
-                carry=carry,
-            )
+            m = run_round(spark, store, r, pidx, robots, cfg, offset, sfilter)
             sec = time.time() - tr
             cpu = _tree_cpu_seconds() - cpu0
             split1 = _tree_cpu_seconds.last_split
@@ -725,9 +717,6 @@ def run_worker(args) -> dict:
             f: os.path.getsize(os.path.join(store.manifest_dir, f))
             for f in sorted(os.listdir(store.manifest_dir))
         }
-        for cdf in carry.values():  # release the carried state caches
-            cdf.unpersist()
-        carry.clear()
         shutil.rmtree(store.root, ignore_errors=True)
         return {
             "cpus": cpus,
