@@ -56,6 +56,39 @@ class EngineConfig:
     salt: int = 8  # politeness-window salt groups (1 = single-phase)
 
 
+class static_planning:
+    """Context manager: disable adaptive query execution for the crawl
+    loop, restoring the previous setting on exit.
+
+    Every crawl exchange is explicitly pinned by design (repartition /
+    bucket-analog partitioning; see the module docstring), so AQE's
+    partition coalescing is inert here, and its skew handling is
+    superseded by the host-salted politeness window — the crawl's designed
+    skew strategy.  What AQE still costs is real and linear in rounds:
+    each adaptive query stage is materialized job-by-job with a
+    driver-serial replan between stages, a fixed per-round latency that
+    erodes wide-executor scaling (Amdahl) — measured 1.1-2.0 s/round at
+    local[16] (10-20% of a round), a wash at local[4].  Repeated
+    fixed-shape production plans want static planning; AQE stays the
+    engine default for the ad-hoc/ops suite (engine/session.py), where
+    data-dependent skew (minhash buckets, host rollups) is real.
+    """
+
+    KEY = "spark.sql.adaptive.enabled"
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(self.KEY, "true")
+        self.spark.conf.set(self.KEY, "false")
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set(self.KEY, self.prev)
+        return False
+
+
 def _global_seq_by_url(
     slim: DataFrame, offset: int, n_par: int
 ) -> tuple[DataFrame, DataFrame]:
@@ -461,35 +494,38 @@ def run_crawl(
     # once, keep it cached across rounds (cluster analog: stored bucketed)
     pages_idx = pages_index(pages).persist()
     rounds_done = 0
-    while True:
-        sid = store.latest()
-        rnd = sid  # next round number == current snapshot id
-        if rnd >= cfg.max_rounds:
-            break
-        # empty-check from the previous round's observed metric; count()
-        # fallback only for stores written before the metric existed
-        m_prev = store.manifest(sid).get("metrics") or {}
-        frontier_rows = m_prev.get("frontier_rows")
-        if frontier_rows is None:
-            frontier_rows = (
-                store.read(spark, "frontier", sid).limit(1).count()
+    with static_planning(spark):
+        while True:
+            sid = store.latest()
+            rnd = sid  # next round number == current snapshot id
+            if rnd >= cfg.max_rounds:
+                break
+            # empty-check from the previous round's observed metric; count()
+            # fallback only for stores written before the metric existed
+            m_prev = store.manifest(sid).get("metrics") or {}
+            frontier_rows = m_prev.get("frontier_rows")
+            if frontier_rows is None:
+                frontier_rows = (
+                    store.read(spark, "frontier", sid).limit(1).count()
+                )
+            if frontier_rows == 0:
+                break
+            seen_filter = (
+                seen_filter_factory(spark, store, sid)
+                if seen_filter_factory
+                else None
             )
-        if frontier_rows == 0:
-            break
-        seen_filter = (
-            seen_filter_factory(spark, store, sid) if seen_filter_factory else None
-        )
-        run_round(
-            spark,
-            store,
-            rnd,
-            pages_idx,
-            robots,
-            cfg,
-            _fetch_seq_offset(spark, store, sid),
-            seen_filter,
-        )
-        rounds_done += 1
+            run_round(
+                spark,
+                store,
+                rnd,
+                pages_idx,
+                robots,
+                cfg,
+                _fetch_seq_offset(spark, store, sid),
+                seen_filter,
+            )
+            rounds_done += 1
     pages_idx.unpersist()
     return rounds_done
 
