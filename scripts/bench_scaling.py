@@ -1784,6 +1784,25 @@ def _write_md(rep: dict, path: str) -> None:
                 f" {d.get('pairwise_eff')}, level-16"
                 f" {d.get('throughput_urls_per_sec', {}).get('16')} urls/s)"
                 for fn, d in fx
+            ] + [
+                "",
+                "Reading fix5/fix6 (late round 4): both ran in a",
+                "MEASURABLY degraded host window — per-pair substrate",
+                "columns show the standalone parse kernel at 1300-1430",
+                "pages/s vs 1570 in fix4's window, and byte-identical",
+                "python extraction cost +28% CPU at level 4 and +78% at",
+                "level 16 vs fix4's rounds — so their totals price the",
+                "co-tenant, not engine changes.  fix5 measured a",
+                "carried-state/zipper redesign that was then REVERTED on",
+                "event-log evidence (identical shuffle bytes, added sorts",
+                "and cache pressure; SURVEY.md §6(g)).  fix6 measured the",
+                "retained static-planning change (SURVEY.md §6(h)): the",
+                "crawl loop disables AQE per round because every exchange",
+                "is explicitly pinned, removing 1.1-2.0 s/round of",
+                "driver-serial query-stage replan gaps — evidenced by a",
+                "controlled SAME-WINDOW A/B (local[16] rounds 34.7 ->",
+                "29.9 s, -14%; local[4] a wash), which is host-drift-free",
+                "where cross-window protocol samples are not.",
             ]
     lines += [
         "",
