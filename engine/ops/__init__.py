@@ -47,101 +47,36 @@ def op(name: str, oracle: str | None, group: str):
 
 
 # The driver's per-round CORRECTNESS check walks queries() in iteration
-# order and has a bounded row budget (rounds 1-2 each recorded the first
-# 50 entries).  The front of the iteration order is an explicit priority
-# window: round 3 leads with every op whose oracle is NEW this round (the
-# golden-pinned conversions and the two HUGEINT-cast heals — their first
-# possible hash rows), then ops that have never had a driver hash row,
-# then the highest-value green re-confirmations.  What falls past the
-# cutoff is exclusively ops already hash-green on the merged r01+r02
-# record (elementary function suites, trivial scans/projections).
+# order and has a bounded row budget (50 entries per round, observed
+# r01-r04).  The front of the iteration order is an explicit priority
+# window, re-rotated EVERY round (round 4's process slip was forgetting
+# this).  Round 5 leads with the only three oracled ops that have never
+# had a driver hash row (crawl_fetch_log — the north rule's fetch-order
+# artifact itself — plus the two multimodal ops whose pinned oracles
+# landed in r4 after their r1 rows-only rows), then every op whose last
+# driver row is r1 (four rounds stale), then the r2 cohort (three rounds
+# stale).  That is exactly 50; the 51st, crawl_round, is rows-only by
+# design and refspec-pytest-verified, and everything else that falls past
+# the cutoff is hash-green on the r4 record.
 _FRONT = (
-    # -- round-3 conversions: previously rows-only, now closed-form-oracled
-    #    (fixtures/golden_oracles.json) — their first possible hash rows
-    "crawl_lineage_agg",
-    "repetition_filter",
-    "tfidf_top_terms",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "ann_lsh_bucket",
-    "ann_ivf",
-    "doc_fingerprint",
-    "approx_frontier_card",
-    "extract_text",
-    "extract_links",
-    "bloom_prune",
-    "cuckoo_shard_update",
-    # -- brand-new round-3 ops (corpus shaping / export planning) — no
-    #    driver row of any kind exists yet
-    "domain_cap_sample",
-    "c4_quality_filter",
-    "exact_substring_contain",
-    "span_dedup",
-    "unigram_freq_score",
-    "host_quality_rollup",
-    "token_shard_plan",
-    # -- never driver-recorded, oracled (hash check is the prize)
-    "except_selected",
-    "intersect_invariant",
-    "agg_sort_fallback",
-    "cube_metrics",
-    "grouping_sets_metrics",
-    "embed_norm",
-    "embed_cosine_topk",
-    "embed_cosine_neardup",
-    "tumbling_metrics",
-    "sliding_rate",
-    "watermark_late_pages",
-    "session_per_host",
-    "stream_dedup",
-    "stateful_user_stats",
-    "dedup_exact",
-    "token_count",
-    "token_count_bpe",
-    "lang_id",
-    "quality_score",
-    # -- never driver-recorded, rows-only (scan_robots heals r01's one red
-    #    row: its list column is now projected to a joinable string)
-    "scan_robots",
-    "stream_rounds",
-    # -- new in round 2 (no driver row exists yet), oracled
-    "trap_guard",
-    "redirect_resolve",
-    "pivot_status",
-    "scan_sitemaps",
-    "link_rank",
-    "split_train_val",
-    "dedup_clusters",
-    "pii_scrub",
-    "stratified_sample",
-    "snapshot_diff",
-    "connected_components",
-    "contamination_ngrams",
-    "sink_bucketed_seen",
-    "dedup_incremental",
-    # -- round-1 rows-only, NOW oracled (hash check never recorded)
-    "scan_seeds",
-    "snapshot_append",
-    "snapshot_overwrite",
-    "time_travel_read",
-    # -- round-1-green re-confirmations (the load-bearing plans)
-    "seen_exact_verify",
-    "bloom_build_shards",
-    "anti_join_seen",
+    # -- oracled, never driver-hash-recorded: first possible hash rows
+    "crawl_fetch_log",
+    "mm_decode_stub",
+    "mm_frame_sample",
+    # -- last driver row r1 (stale 4 rounds): load-bearing plans first
+    "politeness_topk",
+    "union_new_links",
+    "order_fetch_log",
     "semi_join_pages",
     "broadcast_join_robots",
     "equi_join_fetch",
     "asof_join_latest",
     "range_join_events",
-    "politeness_topk",
+    "global_topk",
     "rank_audit",
     "lag_interval",
     "rolling_rate",
     "ntile_shard_audit",
-    "order_fetch_log",
-    "global_topk",
-    "union_new_links",
     "agg_host_counts",
     "agg_distinct_hosts",
     "rollup_metrics",
@@ -149,6 +84,38 @@ _FRONT = (
     "asof_join_cogroup",
     "host_bytes_p90",
     "mm_ingest_bytes",
+    "canonicalize_url",
+    "url_hash64",
+    "explode_links",
+    "derive_host",
+    "derive_priority",
+    "filter_lang",
+    "filter_status",
+    "project_prune",
+    "scan_pages",
+    "str_suite",
+    "date_suite",
+    "math_suite",
+    "array_suite",
+    "json_map_suite",
+    # -- last driver row r2 (stale 3 rounds)
+    "anti_join_seen",
+    "seen_exact_verify",
+    "bloom_build_shards",
+    "sink_bucketed_seen",
+    "dedup_incremental",
+    "contamination_ngrams",
+    "connected_components",
+    "stratified_sample",
+    "snapshot_diff",
+    "scan_seeds",
+    "snapshot_append",
+    "snapshot_overwrite",
+    "time_travel_read",
+    # -- position 51+: rows-only flagship (refspec-pytest-verified; its
+    #    ordering/seen-set claims are hash-attested via crawl_fetch_log +
+    #    crawl_lineage_agg above) — deliberately past the 50-cut
+    "crawl_round",
 )
 
 
