@@ -72,6 +72,12 @@ class static_planning:
     fixed-shape production plans want static planning; AQE stays the
     engine default for the ad-hoc/ops suite (engine/session.py), where
     data-dependent skew (minhash buckets, host rollups) is real.
+
+    The override mutates shared SparkSession state: run_crawl assumes
+    exclusive use of its session while it runs (concurrent ad-hoc queries
+    on the same session would silently run with AQE off — give them their
+    own ``spark.newSession()``).  Not reentrant: nesting would restore the
+    inner manager's captured value, i.e. "false".
     """
 
     KEY = "spark.sql.adaptive.enabled"
@@ -80,12 +86,26 @@ class static_planning:
         self.spark = spark
 
     def __enter__(self):
-        self.prev = self.spark.conf.get(self.KEY, "true")
+        # Distinguish "explicitly set on this session" from "inheriting the
+        # default": restoring an inherited default as an explicit value
+        # would pin it for the rest of the session even on deployments
+        # whose build default differs.  RuntimeConfig.isModifiable can't
+        # tell us; unset-then-probe can — SQL confs always resolve to
+        # their effective default once unset.
+        self.prev = self.spark.conf.get(self.KEY, None)
+        self.spark.conf.unset(self.KEY)
+        self.default = self.spark.conf.get(self.KEY)
+        self.was_explicit = (
+            self.prev is not None and self.prev != self.default
+        )
         self.spark.conf.set(self.KEY, "false")
         return self
 
     def __exit__(self, *exc):
-        self.spark.conf.set(self.KEY, self.prev)
+        if self.was_explicit:
+            self.spark.conf.set(self.KEY, self.prev)
+        else:
+            self.spark.conf.unset(self.KEY)
         return False
 
 
@@ -494,39 +514,44 @@ def run_crawl(
     # once, keep it cached across rounds (cluster analog: stored bucketed)
     pages_idx = pages_index(pages).persist()
     rounds_done = 0
-    with static_planning(spark):
-        while True:
-            sid = store.latest()
-            rnd = sid  # next round number == current snapshot id
-            if rnd >= cfg.max_rounds:
-                break
-            # empty-check from the previous round's observed metric; count()
-            # fallback only for stores written before the metric existed
-            m_prev = store.manifest(sid).get("metrics") or {}
-            frontier_rows = m_prev.get("frontier_rows")
-            if frontier_rows is None:
-                frontier_rows = (
-                    store.read(spark, "frontier", sid).limit(1).count()
+    try:
+        with static_planning(spark):
+            while True:
+                sid = store.latest()
+                rnd = sid  # next round number == current snapshot id
+                if rnd >= cfg.max_rounds:
+                    break
+                # empty-check from the previous round's observed metric;
+                # count() fallback only for stores written before the
+                # metric existed
+                m_prev = store.manifest(sid).get("metrics") or {}
+                frontier_rows = m_prev.get("frontier_rows")
+                if frontier_rows is None:
+                    frontier_rows = (
+                        store.read(spark, "frontier", sid).limit(1).count()
+                    )
+                if frontier_rows == 0:
+                    break
+                seen_filter = (
+                    seen_filter_factory(spark, store, sid)
+                    if seen_filter_factory
+                    else None
                 )
-            if frontier_rows == 0:
-                break
-            seen_filter = (
-                seen_filter_factory(spark, store, sid)
-                if seen_filter_factory
-                else None
-            )
-            run_round(
-                spark,
-                store,
-                rnd,
-                pages_idx,
-                robots,
-                cfg,
-                _fetch_seq_offset(spark, store, sid),
-                seen_filter,
-            )
-            rounds_done += 1
-    pages_idx.unpersist()
+                run_round(
+                    spark,
+                    store,
+                    rnd,
+                    pages_idx,
+                    robots,
+                    cfg,
+                    _fetch_seq_offset(spark, store, sid),
+                    seen_filter,
+                )
+                rounds_done += 1
+    finally:
+        # same exceptional paths that restore the AQE conf also release
+        # the cached pages index (long-lived sessions would leak it)
+        pages_idx.unpersist()
     return rounds_done
 
 
