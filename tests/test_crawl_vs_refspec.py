@@ -70,3 +70,38 @@ def test_seen_frontier_disjoint_invariant(spark, engine_store):
         seen = engine_store.read(spark, "seen", sid).select("url_hash")
         frontier = engine_store.read(spark, "frontier", sid).select("url_hash")
         assert frontier.intersect(seen).count() == 0
+
+
+def test_static_planning_restores_session_state(spark):
+    """ADVICE r4: the crawl loop's AQE override must return the session to
+    its PRIOR state — unset stays unset (resolving to the build default),
+    an explicit non-default value is restored verbatim, and an exception
+    inside the block restores just the same."""
+    from engine.crawl import static_planning
+
+    KEY = static_planning.KEY
+    default = None
+    try:
+        spark.conf.unset(KEY)
+        default = spark.conf.get(KEY)  # effective build default
+
+        # inherited default -> restored to unset (still resolves default)
+        with static_planning(spark):
+            assert spark.conf.get(KEY) == "false"
+        assert spark.conf.get(KEY) == default
+
+        # explicit non-default -> restored verbatim
+        explicit = "false" if default == "true" else "true"
+        spark.conf.set(KEY, explicit)
+        with static_planning(spark):
+            assert spark.conf.get(KEY) == "false"
+        assert spark.conf.get(KEY) == explicit
+        spark.conf.unset(KEY)
+
+        # exceptional exit restores too
+        with pytest.raises(RuntimeError, match="boom"):
+            with static_planning(spark):
+                raise RuntimeError("boom")
+        assert spark.conf.get(KEY) == default
+    finally:
+        spark.conf.unset(KEY)
